@@ -1,0 +1,98 @@
+"""Benchmark harness: flagship EnhancedUNet 512x512 throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline: the reference (whh1747012859/Enhanced-UNet) publishes no numbers
+and cannot run here (no GPU, no segmentation_models_pytorch), so the
+A100 PyTorch baseline below is an engineering estimate for the reference's
+dual-branch model (UNet++/efficientnet-b5 + DeepLabV3+/efficientnet-b4,
+~66M params) at 512x512 inference in fp32 on one A100, documented in
+BASELINE.md.  vs_baseline = our images/sec / that estimate.
+
+Env knobs: BENCH_BATCH (default 8), BENCH_SIZE (512), BENCH_STEPS (20),
+BENCH_MODE (infer|train), BENCH_MODEL (enhanced_unet).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated A100 PyTorch fp32 single-image inference throughput of the
+# reference EnhancedUNet at 512x512 (batch 8, no TTA).  See BASELINE.md.
+A100_REFERENCE_IPS = 55.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    mode = os.environ.get("BENCH_MODE", "infer")
+    model_name = os.environ.get("BENCH_MODEL", "enhanced_unet")
+
+    from enhanced_unet_tpu.config import get_preset
+    from enhanced_unet_tpu.models import get_model
+
+    model = get_model(model_name, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, size, size, 3), jnp.float32),
+        train=False,
+    )
+
+    if mode == "train":
+        from enhanced_unet_tpu.train.trainer import create_train_state, make_train_step
+
+        cfg = get_preset(model_name, num_epochs=50)
+        state = create_train_state(
+            model, cfg, steps_per_epoch=100, rng=jax.random.key(0),
+            input_shape=(batch, size, size, 3),
+        )
+        masks = jnp.asarray(rng.integers(0, 3, (batch, size, size)), jnp.int32)
+        valid = jnp.ones((batch, size, size), bool)
+        step = jax.jit(make_train_step(cfg), donate_argnums=0)
+        d_rng = jax.random.key(1)
+
+        state, m = step(state, x, masks, valid, d_rng)  # compile
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step(state, x, masks, valid, d_rng)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        metric = f"{model_name}_{size}_train"
+    else:
+        @jax.jit
+        def fwd(params, batch_stats, x):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            return logits
+
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        out = fwd(params, batch_stats, x)  # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fwd(params, batch_stats, x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        metric = f"{model_name}_{size}_infer"
+
+    ips = batch * steps / dt
+    print(json.dumps({
+        "metric": f"{metric}_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / A100_REFERENCE_IPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""CLI driver.
+
+Parity target: reference main.py:74-449 — same modes
+(train / eval / train_eval / visualize), same flags (--models, --epochs,
+--regenerate-predictions), per-model loop with crash isolation, results
+aggregation into results/evaluation_results.{json,csv} (including the
+reference's Chinese column headers for artifact parity, main.py:256-276),
+and the comparison figure suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import traceback
+from typing import Dict
+
+ZERO_RESULTS = {
+    "sem_mean_iou": 0.0, "sem_mean_dice": 0.0,
+    "sem_live_iou": 0.0, "sem_live_dice": 0.0,
+    "sem_dead_iou": 0.0, "sem_dead_dice": 0.0,
+    "live_iou": 0.0, "live_precision": 0.0, "live_recall": 0.0,
+    "dead_iou": 0.0, "dead_precision": 0.0, "dead_recall": 0.0,
+    "viability_accuracy": 0.0, "bbox_mAP": 0.0, "segm_mAP": 0.0,
+}
+
+# reference CSV schema (main.py:256-276) — kept byte-compatible
+CSV_COLUMNS = [
+    ("模型", None),
+    ("语义分割 mIoU", "sem_mean_iou"),
+    ("语义分割 mDice", "sem_mean_dice"),
+    ("语义分割-背景 IoU", "sem_background_iou"),
+    ("语义分割-背景 Dice", "sem_background_dice"),
+    ("语义分割-活细胞 IoU", "sem_live_iou"),
+    ("语义分割-死细胞 IoU", "sem_dead_iou"),
+    ("语义分割-活细胞 Dice", "sem_live_dice"),
+    ("语义分割-死细胞 Dice", "sem_dead_dice"),
+    ("实例分割-活细胞 IoU", "live_iou"),
+    ("实例分割-死细胞 IoU", "dead_iou"),
+    ("活细胞检测准确率 (Precision)", "live_precision"),
+    ("死细胞检测准确率 (Precision)", "dead_precision"),
+    ("活细胞召回率 (Recall)", "live_recall"),
+    ("死细胞召回率 (Recall)", "dead_recall"),
+    ("细胞活力准确率", "viability_accuracy"),
+    ("bbox mAP", "bbox_mAP"),
+    ("segm mAP", "segm_mAP"),
+]
+
+
+def write_results_csv(all_results: Dict[str, Dict], path: str) -> None:
+    import csv
+
+    with open(path, "w", newline="", encoding="utf-8-sig") as f:
+        w = csv.writer(f)
+        w.writerow([c for c, _ in CSV_COLUMNS])
+        for model_name, r in all_results.items():
+            w.writerow(
+                [model_name]
+                + [r.get(key, 0.0) for _, key in CSV_COLUMNS[1:]]
+            )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Cell viability assessment (TPU-native Enhanced-UNet)"
+    )
+    parser.add_argument(
+        "--mode", type=str, default="train_eval",
+        choices=["train", "eval", "train_eval", "visualize"],
+    )
+    parser.add_argument("--regenerate-predictions", action="store_true")
+    parser.add_argument(
+        "--models", type=str, nargs="+",
+        default=["segnet", "unet", "enhanced_unet", "fcn", "pspnet", "linknet"],
+    )
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--data-dir", type=str, default="data")
+    parser.add_argument("--results-dir", type=str, default="results")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--max-size", type=int, default=640)
+    parser.add_argument(
+        "--dtype", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"],
+    )
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    from enhanced_unet_tpu.train.api import (
+        evaluate_model,
+        train_model,
+        visualize_model,
+    )
+    from enhanced_unet_tpu.viz import Visualizer
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    print(f"mode: {args.mode}\nmodels: {args.models}\nepochs: {args.epochs}")
+
+    all_results: Dict[str, Dict] = {}
+    for model_name in args.models:
+        try:
+            print(f"\n{'=' * 60}\nProcessing: {model_name}\n{'=' * 60}")
+            if args.mode == "visualize":
+                visualize_model(
+                    model_name,
+                    data_dir=args.data_dir,
+                    checkpoint_dir=args.checkpoint_dir,
+                    results_dir=args.results_dir,
+                    regenerate_predictions=args.regenerate_predictions,
+                    max_size=args.max_size,
+                    dtype=dtype,
+                )
+                results = dict(ZERO_RESULTS)
+            else:
+                checkpoint_path = None
+                if args.mode in ("train", "train_eval"):
+                    checkpoint_path = train_model(
+                        model_name,
+                        data_dir=args.data_dir,
+                        num_epochs=args.epochs,
+                        checkpoint_dir=args.checkpoint_dir,
+                        max_size=args.max_size,
+                        dtype=dtype,
+                    )
+                if args.mode in ("eval", "train_eval"):
+                    results = evaluate_model(
+                        model_name,
+                        data_dir=args.data_dir,
+                        checkpoint_path=checkpoint_path,
+                        results_dir=args.results_dir,
+                        max_size=args.max_size,
+                        dtype=dtype,
+                    )
+                else:
+                    results = dict(ZERO_RESULTS)
+            all_results[model_name] = results
+
+            print(f"\n{model_name} results:")
+            for k in ("sem_mean_iou", "sem_mean_dice", "live_iou", "dead_iou",
+                      "live_precision", "dead_precision", "viability_accuracy",
+                      "bbox_mAP", "segm_mAP"):
+                print(f"  {k}: {results.get(k, 0.0):.4f}")
+        except Exception as e:
+            print(f"Model {model_name} failed: {e}")
+            traceback.print_exc()
+            all_results[model_name] = dict(ZERO_RESULTS)
+
+    # aggregate artifacts (main.py:251-279)
+    with open(
+        os.path.join(args.results_dir, "evaluation_results.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        json.dump(all_results, f, indent=2, ensure_ascii=False)
+    write_results_csv(
+        all_results, os.path.join(args.results_dir, "evaluation_results.csv")
+    )
+
+    # comparison figures (main.py:282-320)
+    try:
+        visualizer = Visualizer(save_dir=args.results_dir)
+        visualizer.plot_comprehensive_comparison(all_results)
+        visualizer.plot_model_comparison(all_results)
+    except Exception as e:
+        print(f"comparison visualization failed: {e}")
+        traceback.print_exc()
+
+    print("\nAll models processed; results in", args.results_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,141 @@
+"""Batch loader: host decode -> fixed-shape batches -> on-device
+preprocessing + augmentation.
+
+The reference's DataLoader does all feature engineering per-image on the
+CPU inside __getitem__ (dataset.py:133-321, num_workers=0 — the documented
+input bottleneck).  Here the host only decodes and rasterizes; CLAHE /
+edge features / augmentation run batched on the accelerator
+(ops.preprocess / ops.augment), overlapping with the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enhanced_unet_tpu.data.dataset import CellDataset
+from enhanced_unet_tpu.ops.augment import augment_train
+from enhanced_unet_tpu.ops.preprocess import cell_specific_preprocess, eval_preprocess
+
+
+@jax.jit
+def _train_device_pipeline(keys, images_u8, live, dead, masks):
+    """Batched feature engineering + augmentation; returns images in [0,1]."""
+
+    def per_sample(key, img, lv, dd, mask):
+        img = cell_specific_preprocess(img, lv, dd)
+        img, mask = augment_train(key, img, mask)
+        return img / 255.0, mask
+
+    return jax.vmap(per_sample)(keys, images_u8, live, dead, masks)
+
+
+@jax.jit
+def _eval_device_pipeline(images_u8):
+    return jax.vmap(eval_preprocess)(images_u8) / 255.0
+
+
+def _class_union(item, label: int) -> np.ndarray:
+    """Union of instance masks for one class (reference np.maximum loop,
+    dataset.py:96-100)."""
+    h, w = item["semantic_mask"].shape
+    out = np.zeros((h, w), np.uint8)
+    for m, l in zip(item["instance_masks"], item["instance_labels"]):
+        if l == label:
+            out = np.maximum(out, m)
+    return out
+
+
+class BatchLoader:
+    """Fixed-shape batches over a CellDataset.
+
+    pad_shape fixes the static XLA shape; images smaller than it are
+    zero-padded and tracked in `valid`.  Train mode applies the
+    GT-conditioned preprocess + stochastic augmentation on-device.
+    """
+
+    def __init__(
+        self,
+        dataset: CellDataset,
+        batch_size: int,
+        pad_shape: Tuple[int, int],
+        train: bool = False,
+        shuffle: Optional[bool] = None,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        preprocess: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pad_shape = pad_shape
+        self.train = train
+        self.shuffle = train if shuffle is None else shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.preprocess = preprocess
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        ph, pw = self.pad_shape
+
+        for start in range(0, n, self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            if self.drop_remainder and len(idxs) < self.batch_size:
+                break
+            items = [self.dataset[int(i)] for i in idxs]
+            bs = self.batch_size
+            images = np.zeros((bs, ph, pw, 3), np.float32)
+            masks = np.zeros((bs, ph, pw), np.int32)
+            valid = np.zeros((bs, ph, pw), bool)
+            live = np.zeros((bs, ph, pw), np.uint8)
+            dead = np.zeros((bs, ph, pw), np.uint8)
+            for j, item in enumerate(items):
+                h, w = item["semantic_mask"].shape
+                images[j, :h, :w] = item["image_u8"]
+                masks[j, :h, :w] = item["semantic_mask"]
+                valid[j, :h, :w] = True
+                if self.train and self.preprocess:
+                    live[j, :h, :w] = _class_union(item, 0)
+                    dead[j, :h, :w] = _class_union(item, 1)
+
+            if self.train and self.preprocess:
+                keys = jax.random.split(
+                    jax.random.key(hash((self.seed, self._epoch, start)) & 0x7FFFFFFF),
+                    bs,
+                )
+                imgs_d, masks_d = _train_device_pipeline(
+                    keys,
+                    jnp.asarray(images),
+                    jnp.asarray(live),
+                    jnp.asarray(dead),
+                    jnp.asarray(masks),
+                )
+            elif self.preprocess:
+                imgs_d = _eval_device_pipeline(jnp.asarray(images))
+                masks_d = jnp.asarray(masks)
+            else:
+                imgs_d = jnp.asarray(images) / 255.0
+                masks_d = jnp.asarray(masks)
+
+            yield {
+                "images": imgs_d,
+                "semantic_masks": masks_d,
+                "valid_mask": jnp.asarray(valid),
+                "batch_items": items,
+                "n_real": len(items),
+            }

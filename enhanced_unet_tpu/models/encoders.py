@@ -1,0 +1,254 @@
+"""Multi-scale feature encoders: ResNet-18/34/50 and EfficientNet-B0..B7.
+
+The reference delegates encoders to segmentation_models_pytorch
+(models.py:182-192 resnet50, 353-362 resnet18, 430-440 resnet34, 520-529
+resnet18, 255-275 efficientnet-b5/b4).  These are clean-room Flax
+implementations of the same architectures, emitting the smp-style feature
+pyramid: a list [f0..f5] where f_i has stride 2^i (f0 is the input), so the
+decoders can be written once against a uniform contract.
+
+Pretrained ImageNet weights are not available in this offline environment;
+models train from scratch (documented deviation — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhanced_unet_tpu.models.blocks import ConvBNAct
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# ResNet
+# ---------------------------------------------------------------------------
+
+class BasicResBlock(nn.Module):
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBNAct(self.features, (3, 3), self.strides, use_bias=False,
+                      dtype=self.dtype)(x, train)
+        y = ConvBNAct(self.features, (3, 3), act=None, use_bias=False,
+                      dtype=self.dtype)(y, train)
+        if residual.shape != y.shape:
+            residual = ConvBNAct(self.features, (1, 1), self.strides, act=None,
+                                 use_bias=False, dtype=self.dtype)(x, train)
+        return nn.relu(y + residual)
+
+
+class BottleneckResBlock(nn.Module):
+    features: int  # bottleneck width; output is 4x
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBNAct(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x, train)
+        y = ConvBNAct(self.features, (3, 3), self.strides, use_bias=False,
+                      dtype=self.dtype)(y, train)
+        y = ConvBNAct(self.features * 4, (1, 1), act=None, use_bias=False,
+                      dtype=self.dtype)(y, train)
+        if residual.shape != y.shape:
+            residual = ConvBNAct(self.features * 4, (1, 1), self.strides,
+                                 act=None, use_bias=False,
+                                 dtype=self.dtype)(x, train)
+        return nn.relu(y + residual)
+
+
+_RESNET_SPECS = {
+    "resnet18": (BasicResBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicResBlock, (3, 4, 6, 3)),
+    "resnet50": (BottleneckResBlock, (3, 4, 6, 3)),
+}
+
+
+class ResNetEncoder(nn.Module):
+    """torchvision-style ResNet emitting [input, s2, s4, s8, s16, s32]."""
+
+    variant: str = "resnet50"
+    depth: int = 5  # how many downsampling stages to run (smp encoder_depth)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        block_cls, layers = _RESNET_SPECS[self.variant]
+        feats = [x]
+        # stem: 7x7/2 conv + BN + ReLU (stride-2 feature), then 3x3/2 maxpool
+        y = ConvBNAct(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype)(x, train)
+        feats.append(y)
+        if self.depth < 2:
+            return feats
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        widths = (64, 128, 256, 512)
+        for stage, (w, n_blocks) in enumerate(zip(widths, layers)):
+            if stage + 2 > self.depth:
+                break
+            for b in range(n_blocks):
+                strides = (2, 2) if (b == 0 and stage > 0) else (1, 1)
+                y = block_cls(w, strides, dtype=self.dtype)(y, train)
+            feats.append(y)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet
+# ---------------------------------------------------------------------------
+
+# base (B0) stage spec: (expand_ratio, channels, repeats, stride, kernel)
+_EFFNET_BASE = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+# (width_mult, depth_mult)
+_EFFNET_SCALE = {
+    "efficientnet-b0": (1.0, 1.0),
+    "efficientnet-b1": (1.0, 1.1),
+    "efficientnet-b2": (1.1, 1.2),
+    "efficientnet-b3": (1.2, 1.4),
+    "efficientnet-b4": (1.4, 1.8),
+    "efficientnet-b5": (1.6, 2.2),
+    "efficientnet-b6": (1.8, 2.6),
+    "efficientnet-b7": (2.0, 3.1),
+}
+
+
+def _round_filters(c: int, width_mult: float, divisor: int = 8) -> int:
+    c *= width_mult
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return int(new_c)
+
+
+def _round_repeats(r: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * r))
+
+
+class MBConvBlock(nn.Module):
+    """Mobile inverted bottleneck with squeeze-excitation (EfficientNet unit).
+
+    BN uses eps 1e-3 (torch efficientnet convention).  Stochastic depth is
+    applied on residual blocks when train=True.
+    """
+
+    in_features: int
+    out_features: int
+    expand_ratio: int
+    strides: Tuple[int, int]
+    kernel: int
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(y):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                epsilon=1e-3, dtype=self.dtype,
+                                param_dtype=jnp.float32)(y)
+
+        residual = x
+        mid = self.in_features * self.expand_ratio
+        y = x
+        if self.expand_ratio != 1:
+            y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32)(y)
+            y = nn.silu(bn(y))
+        # depthwise
+        y = nn.Conv(mid, (self.kernel, self.kernel), strides=self.strides,
+                    padding="SAME", feature_group_count=mid, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.silu(bn(y))
+        # squeeze-excitation
+        se_c = max(1, int(self.in_features * self.se_ratio))
+        s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        s = nn.Conv(se_c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.silu(s)
+        s = nn.Conv(mid, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        y = y * nn.sigmoid(s)
+        # project
+        y = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(y)
+        y = bn(y)
+        if self.strides == (1, 1) and self.in_features == self.out_features:
+            if train and self.drop_rate > 0.0:
+                # stochastic depth (per-sample drop of the residual branch)
+                keep = 1.0 - self.drop_rate
+                rng = self.make_rng("dropout")
+                mask = jnp.floor(
+                    keep + jax.random.uniform(rng, (y.shape[0], 1, 1, 1))
+                ).astype(y.dtype)
+                y = y / keep * mask
+            y = y + residual
+        return y
+
+
+class EfficientNetEncoder(nn.Module):
+    """EfficientNet feature pyramid [input, s2, s4, s8, s16, s32]."""
+
+    variant: str = "efficientnet-b5"
+    drop_connect_rate: float = 0.2
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        width_mult, depth_mult = _EFFNET_SCALE[self.variant]
+        feats = [x]
+
+        stem_c = _round_filters(32, width_mult)
+        y = nn.Conv(stem_c, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32)(y)
+        y = nn.silu(y)
+
+        total_blocks = sum(_round_repeats(r, depth_mult) for _, _, r, _, _ in _EFFNET_BASE)
+        block_idx = 0
+        in_c = stem_c
+        # stride-2 transitions occur entering stages 2, 3, 4, 6 (0-indexed
+        # 1, 2, 3, 5); capture the feature map just before each.
+        stride2_stages = {1, 2, 3, 5}
+        for stage_idx, (e, c, r, s, k) in enumerate(_EFFNET_BASE):
+            out_c = _round_filters(c, width_mult)
+            repeats = _round_repeats(r, depth_mult)
+            for b in range(repeats):
+                strides = (s, s) if b == 0 else (1, 1)
+                if b == 0 and stage_idx in stride2_stages:
+                    feats.append(y)
+                drop = self.drop_connect_rate * block_idx / max(total_blocks, 1)
+                y = MBConvBlock(
+                    in_c, out_c, e, strides, k,
+                    drop_rate=drop, dtype=self.dtype,
+                )(y, train)
+                in_c = out_c
+                block_idx += 1
+        feats.append(y)
+        return feats
+
+
+def build_encoder(name: str, depth: int = 5, dtype: Dtype = jnp.bfloat16):
+    if name.startswith("resnet"):
+        return ResNetEncoder(variant=name, depth=depth, dtype=dtype)
+    if name.startswith("efficientnet"):
+        return EfficientNetEncoder(variant=name, dtype=dtype)
+    raise ValueError(f"unknown encoder {name}")

@@ -1,0 +1,153 @@
+"""EnhancedUNet — the flagship dual-branch multi-scale fusion model.
+
+Parity target: reference models.py:246-343.
+- main branch: UNet++ (nested dense-skip decoder, scSE attention) over an
+  EfficientNet-B5 encoder (smp.UnetPlusPlus equivalent, models.py:255-266)
+- aux branch: DeepLabV3+ (ASPP context head + low-level fusion decoder)
+  over EfficientNet-B4 (models.py:268-275)
+- fusion: concat both logit maps -> attention gate
+  (conv3-BN-GELU-conv1-BN-sigmoid, models.py:278-285) -> 3-conv fusion head
+  with dropout (models.py:287-300) + 1x1 residual path (models.py:302)
+- aux outputs exposed for deep supervision (models.py:329-333,341-343)
+
+TPU-first: NHWC, bf16 compute; both branch logit maps are produced at full
+input resolution so deep supervision needs no resize.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhanced_unet_tpu.models.blocks import ConvBNAct, SCSEBlock, ASPP, DoubleConv
+from enhanced_unet_tpu.models.encoders import EfficientNetEncoder
+from enhanced_unet_tpu.ops.resize import resize_bilinear, upsample2x
+
+
+class NestedBlock(nn.Module):
+    """UNet++ node: concat(same-level dense inputs, upsampled deeper node)
+    -> DoubleConv -> scSE."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, same_level, below, train: bool = False):
+        up = upsample2x(below)
+        parts = [f.astype(up.dtype) for f in same_level] + [up]
+        y = jnp.concatenate(parts, axis=-1)
+        y = DoubleConv(self.features, dtype=self.dtype)(y, train)
+        return SCSEBlock(dtype=self.dtype)(y)
+
+
+class UNetPlusPlus(nn.Module):
+    """Nested UNet decoder over an EfficientNet encoder.
+
+    Grid X[i][j]: i = resolution row (0 = stride 2 ... 4 = stride 32),
+    j = dense-skip column.  X[i][0] are encoder features; X[i][j] fuses all
+    X[i][<j] with up(X[i+1][j-1]).  Output head consumes X[0][4] plus a
+    final 2x upsampling block to full resolution (decoder widths follow
+    smp's [256,128,64,32,16]).
+    """
+
+    num_classes: int = 3
+    encoder_name: str = "efficientnet-b5"
+    row_channels: Sequence[int] = (32, 64, 128, 256)
+    head_channels: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = EfficientNetEncoder(variant=self.encoder_name,
+                                    dtype=self.dtype)(x, train)
+        # rows 0..4 = strides 2..32
+        grid = {(i, 0): feats[i + 1] for i in range(5)}
+        for j in range(1, 5):
+            for i in range(0, 5 - j):
+                same = [grid[(i, k)] for k in range(j)]
+                grid[(i, j)] = NestedBlock(
+                    self.row_channels[min(i, len(self.row_channels) - 1)],
+                    dtype=self.dtype,
+                )(same, grid[(i + 1, j - 1)], train)
+        y = grid[(0, 4)]  # stride 2
+        # final up block to full resolution (no skip at stride 1)
+        y = upsample2x(y)
+        y = DoubleConv(self.head_channels, dtype=self.dtype)(y, train)
+        logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                         dtype=self.dtype, param_dtype=jnp.float32)(y)
+        return logits.astype(jnp.float32)
+
+
+class DeepLabV3Plus(nn.Module):
+    """ASPP context head + low-level feature fusion decoder."""
+
+    num_classes: int = 3
+    encoder_name: str = "efficientnet-b4"
+    aspp_channels: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = EfficientNetEncoder(variant=self.encoder_name,
+                                    dtype=self.dtype)(x, train)
+        y = ASPP(self.aspp_channels, dtype=self.dtype)(feats[-1], train)
+        low = feats[2]  # stride 4
+        low = ConvBNAct(48, (1, 1), dtype=self.dtype)(low, train)
+        y = resize_bilinear(y, low.shape[1:3]).astype(low.dtype)
+        y = jnp.concatenate([y, low], axis=-1)
+        y = ConvBNAct(256, dtype=self.dtype)(y, train)
+        y = ConvBNAct(256, dtype=self.dtype)(y, train)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32)(y)
+        return resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
+
+
+class EnhancedUNet(nn.Module):
+    """Dual-branch fusion model (reference models.py:246-343)."""
+
+    num_classes: int = 3
+    fusion_dropout: Tuple[float, float] = (0.2, 0.15)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
+        out_main = UNetPlusPlus(self.num_classes, dtype=self.dtype)(x, train)
+        out_aux = DeepLabV3Plus(self.num_classes, dtype=self.dtype)(x, train)
+
+        fused = jnp.concatenate([out_main, out_aux], axis=-1)  # [N,H,W,6]
+        fc = fused.shape[-1]
+
+        # attention gate (models.py:278-285)
+        a = nn.Conv(fc // 2, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(fused.astype(self.dtype))
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32)(a)
+        a = nn.gelu(a)
+        a = nn.Conv(fc, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(a)
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32)(a)
+        attention = nn.sigmoid(a.astype(jnp.float32))
+        gated = fused * attention
+
+        # fusion head (models.py:287-300)
+        y = gated.astype(self.dtype)
+        y = ConvBNAct(256, use_bias=False, dtype=self.dtype)(y, train)
+        y = nn.Dropout(self.fusion_dropout[0], deterministic=not train)(y)
+        y = ConvBNAct(128, use_bias=False, dtype=self.dtype)(y, train)
+        y = nn.Dropout(self.fusion_dropout[1], deterministic=not train)(y)
+        y = ConvBNAct(64, use_bias=False, dtype=self.dtype)(y, train)
+        head = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32)(y).astype(jnp.float32)
+
+        # residual path (models.py:302, 326-328)
+        residual = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                           param_dtype=jnp.float32)(gated)
+        logits = head + residual
+
+        aux = {"unetpp": out_main, "deeplab": out_aux}
+        return logits, aux

@@ -1,0 +1,58 @@
+"""Bilinear resize matching torch F.interpolate(align_corners=False).
+
+The reference calls F.interpolate(..., mode='bilinear', align_corners=False)
+at every resolution change (train_eval.py:307, 411, 442-450, models.py:215).
+jax.image.resize with method='linear' uses the same half-pixel-center
+sampling convention, so the two agree to fp tolerance; tests/test_resize.py
+pins this against torch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(
+    x: jnp.ndarray,
+    size: Tuple[int, int],
+    antialias: bool = False,
+) -> jnp.ndarray:
+    """Resize NHWC (or HWC / NHWC-like) images to `size` = (H, W).
+
+    antialias=False matches torch's F.interpolate exactly (torch never
+    antialiases unless asked).
+    """
+    if x.ndim == 4:
+        out_shape = (x.shape[0], size[0], size[1], x.shape[3])
+    elif x.ndim == 3:
+        out_shape = (size[0], size[1], x.shape[2])
+    else:
+        raise ValueError(f"expected 3D/4D input, got shape {x.shape}")
+    return jax.image.resize(x, out_shape, method="linear", antialias=antialias)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
+    return resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2))
+
+
+def pad_to_multiple(
+    x: jnp.ndarray, multiple: int = 32, mode: str = "reflect"
+) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Bottom/right pad H, W of NHWC (or HWC) to the next multiple.
+
+    Mirrors the reference's F.pad(..., mode='reflect') /32 snap
+    (train_eval.py:249-253, 404-408).  Returns (padded, (h_pad, w_pad)).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    h_pad = (multiple - h % multiple) % multiple
+    w_pad = (multiple - w % multiple) % multiple
+    if h_pad == 0 and w_pad == 0:
+        return x, (0, 0)
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[-3] = (0, h_pad)
+    pad_width[-2] = (0, w_pad)
+    return jnp.pad(x, pad_width, mode=mode), (h_pad, w_pad)

@@ -1,0 +1,66 @@
+"""Test-time augmentation inference.
+
+Parity target: reference train_eval.py:397-453 (_run_model_single /
+_run_tta_inference): identity + hflip + vflip + 0.75x + 1.25x multi-scale,
+probabilities averaged.  Flips share one compiled program; each scale
+compiles its own (3 programs total per input shape — static shapes are the
+TPU constraint the reference never had).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from enhanced_unet_tpu.ops.resize import pad_to_multiple, resize_bilinear
+
+ApplyFn = Callable[[jnp.ndarray], jnp.ndarray]
+# ApplyFn: [1,H,W,3] float images -> [1,H,W,C] float32 logits
+
+
+def run_model_single(apply_fn: ApplyFn, image: jnp.ndarray) -> jnp.ndarray:
+    """Pad-to-32 -> forward -> softmax -> crop (train_eval.py:397-417).
+
+    image: [H,W,3] in [0,1].  Returns [H,W,C] probabilities.
+    """
+    h, w = image.shape[:2]
+    padded, (hp, wp) = pad_to_multiple(image[None], 32, mode="reflect")
+    logits = apply_fn(padded)
+    # shape guard kept from the reference (train_eval.py:411) — our models
+    # emit input-resolution logits so this is a no-op resize
+    if logits.shape[1:3] != padded.shape[1:3]:
+        logits = resize_bilinear(logits, padded.shape[1:3])
+    probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+    return probs[:h, :w]
+
+
+def tta_probs(
+    apply_fn: ApplyFn,
+    image: jnp.ndarray,
+    enable_tta: bool = True,
+    scales: Tuple[float, ...] = (0.75, 1.25),
+) -> jnp.ndarray:
+    """Averaged TTA probabilities (train_eval.py:419-453)."""
+    base = run_model_single(apply_fn, image)
+    if not enable_tta:
+        return base
+    h, w = image.shape[:2]
+    acc = [base]
+
+    # horizontal flip (W axis)
+    p = run_model_single(apply_fn, image[:, ::-1])
+    acc.append(p[:, ::-1])
+    # vertical flip (H axis)
+    p = run_model_single(apply_fn, image[::-1])
+    acc.append(p[::-1])
+
+    # multi-scale: resize image, run, resize probs back
+    for s in scales:
+        sh, sw = int(h * s), int(w * s)
+        scaled = resize_bilinear(image, (sh, sw))
+        p = run_model_single(apply_fn, scaled)
+        acc.append(resize_bilinear(p, (h, w)))
+
+    return jnp.mean(jnp.stack(acc, axis=0), axis=0)

@@ -1,0 +1,17 @@
+"""Multi-chip parallelism: Mesh construction + shard_map data parallelism.
+
+The reference is single-GPU with no distributed code (SURVEY §2); this layer
+is the TPU-native scaling design: a 1-D `Mesh('data')` with per-chip batches,
+`pmean` gradient reduction over ICI, and BatchNorm running statistics
+averaged across replicas.  Collectives are inserted by XLA from the
+shard_map program — no NCCL/MPI analogue exists or is needed.
+"""
+
+from enhanced_unet_tpu.parallel.mesh import make_mesh
+from enhanced_unet_tpu.parallel.data_parallel import (
+    make_dp_train_step,
+    replicate_state,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "make_dp_train_step", "replicate_state", "shard_batch"]

@@ -1,0 +1,343 @@
+"""Orchestration API: train_model / evaluate_model / train_and_evaluate.
+
+Parity target: reference train_eval.py:1024-1543 — the same public entry
+points, policy tables (epochs/batch/patience per model), every-3-epochs
+validation gate, best-mIoU checkpointing and early stopping (patience after
+epoch 25).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enhanced_unet_tpu.config import TrainConfig, get_preset
+from enhanced_unet_tpu.data.dataset import CellDataset
+from enhanced_unet_tpu.data.loader import BatchLoader
+from enhanced_unet_tpu.metrics.semantic import metrics_from_confusion
+from enhanced_unet_tpu.models import get_model
+from enhanced_unet_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from enhanced_unet_tpu.train.evaluator import Evaluator
+from enhanced_unet_tpu.train.trainer import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _pad_shape(max_size: int) -> tuple:
+    s = (max_size // 32) * 32
+    return (s, s)
+
+
+def _build_state(model_name: str, cfg: TrainConfig, steps_per_epoch: int,
+                 pad_shape, dtype=jnp.bfloat16):
+    model = get_model(model_name, dtype=dtype)
+    return create_train_state(
+        model,
+        cfg,
+        steps_per_epoch=max(steps_per_epoch, 1),
+        rng=jax.random.key(cfg.seed),
+        input_shape=(cfg.batch_size, *pad_shape, 3),
+    )
+
+
+def quick_val_miou(state, cfg: TrainConfig, loader) -> Dict[str, float]:
+    """Cheap on-device validation (argmax mIoU) used by the every-3-epochs
+    gate — the reference runs its full Evaluator here (train_eval.py:1119),
+    which we also expose; this fast path keeps the gate on-device."""
+    eval_step = jax.jit(make_eval_step(cfg))
+    cms = []
+    for batch in loader:
+        _, cm = eval_step(
+            state, batch["images"], batch["semantic_masks"], batch["valid_mask"]
+        )
+        cms.append(np.asarray(cm[: batch["n_real"]]))
+    if not cms:
+        return {"sem_mean_iou": 0.0}
+    total = np.concatenate(cms).sum(axis=0)
+    return metrics_from_confusion(total)
+
+
+def train_model(
+    model_name: str,
+    data_dir: str = "data",
+    num_epochs: int = 50,
+    skip_training: bool = False,
+    checkpoint_dir: str = "checkpoints",
+    max_size: int = 640,
+    cfg: Optional[TrainConfig] = None,
+    use_full_evaluator_gate: bool = False,
+    dtype=jnp.bfloat16,
+    log=print,
+) -> str:
+    """Train one model with the reference's protocol; returns checkpoint path.
+
+    Reference: train_eval.py:1036-1162.
+    """
+    cfg = cfg or get_preset(model_name, num_epochs=num_epochs, data_dir=data_dir)
+    ckpt_path = os.path.join(checkpoint_dir, model_name, "best_model")
+    os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
+
+    if skip_training and checkpoint_exists(ckpt_path):
+        log(f"Found trained checkpoint: {ckpt_path}; skipping training")
+        return ckpt_path
+
+    train_ds = CellDataset(data_dir, split="train", max_size=max_size)
+    val_ds = CellDataset(data_dir, split="val", max_size=max_size)
+    pad_shape = _pad_shape(max_size)
+    train_loader = BatchLoader(
+        train_ds, cfg.batch_size, pad_shape, train=True, seed=cfg.seed,
+    )
+    val_loader = BatchLoader(val_ds, 1, pad_shape, train=False)
+
+    steps_per_epoch = len(train_loader)
+    state = _build_state(model_name, cfg, steps_per_epoch, pad_shape, dtype)
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    dropout_rng = jax.random.key(cfg.seed + 1)
+
+    history = {
+        "train_loss": [], "val_loss": [], "val_miou": [],
+        "val_live_iou": [], "val_dead_iou": [], "val_dice": [],
+        "learning_rate": [], "epoch_axis": [], "epoch_time_sec": [],
+        "images_per_sec": [],
+    }
+    from enhanced_unet_tpu.train.schedule import reference_lr_schedule
+
+    lr_table = reference_lr_schedule(
+        cfg.optimizer.base_lr, cfg.num_epochs, cfg.warmup_epochs, cfg.cosine_t0,
+        cfg.optimizer.t_mult, cfg.optimizer.eta_min,
+        cfg.optimizer.warmup_start_factor,
+    )
+
+    best_miou, best_loss = 0.0, float("inf")
+    patience_counter = 0
+
+    for epoch in range(cfg.num_epochs):
+        t0 = time.perf_counter()
+        epoch_loss, n_batches = 0.0, 0
+        for batch in train_loader:
+            state, m = train_step(
+                state, batch["images"], batch["semantic_masks"],
+                batch["valid_mask"], dropout_rng,
+            )
+            epoch_loss += float(m["loss"])
+            n_batches += 1
+        dt = time.perf_counter() - t0
+        loss = epoch_loss / max(n_batches, 1)
+        history["train_loss"].append(loss)
+        history["learning_rate"].append(float(lr_table[epoch]))
+        history["epoch_time_sec"].append(dt)
+        history["images_per_sec"].append(
+            n_batches * cfg.batch_size / dt if dt > 0 else 0.0
+        )
+        log(f"Epoch {epoch+1}/{cfg.num_epochs} loss={loss:.4f} "
+            f"lr={lr_table[epoch]:.6f} ({dt:.1f}s)")
+
+        # every-3-epochs validation gate (train_eval.py:1119-1135)
+        if (epoch + 1) % cfg.eval_every_epochs == 0:
+            if use_full_evaluator_gate:
+                ev = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
+                val = ev.evaluate(val_loader)
+            else:
+                val = quick_val_miou(state, cfg, val_loader)
+            val_iou = val.get("sem_mean_iou", 0.0)
+            history["val_miou"].append(val_iou)
+            history["val_live_iou"].append(val.get("sem_live_iou", 0.0))
+            history["val_dead_iou"].append(val.get("sem_dead_iou", 0.0))
+            history["val_dice"].append(
+                [val.get("sem_live_dice", 0.0), val.get("sem_dead_dice", 0.0)]
+            )
+            history["val_loss"].append(loss)
+            history["epoch_axis"].append(epoch + 1)
+            log(f"  val mIoU={val_iou:.4f} live={val.get('sem_live_iou', 0):.4f} "
+                f"dead={val.get('sem_dead_iou', 0):.4f}")
+
+            if val_iou > best_miou:
+                best_miou, best_loss = val_iou, loss
+                patience_counter = 0
+                save_checkpoint(ckpt_path, state, epoch + 1, best_miou,
+                                best_loss, history)
+                log(f"  ✓ saved best (mIoU {best_miou:.4f})")
+            else:
+                patience_counter += 1
+
+        # early stopping (train_eval.py:1157-1159)
+        if patience_counter >= cfg.patience and epoch > cfg.early_stop_min_epoch:
+            log(f"Early stopping at epoch {epoch+1}")
+            break
+
+    if not checkpoint_exists(ckpt_path):
+        # never validated better than 0.0 — still persist the final state
+        save_checkpoint(ckpt_path, state, cfg.num_epochs, best_miou,
+                        best_loss, history)
+    return ckpt_path
+
+
+def evaluate_model(
+    model_name: str,
+    data_dir: str = "data",
+    checkpoint_path: Optional[str] = None,
+    results_dir: str = "results",
+    max_size: int = 640,
+    cfg: Optional[TrainConfig] = None,
+    dtype=jnp.bfloat16,
+    log=print,
+) -> Dict:
+    """Evaluate one model on the val split (reference train_eval.py:1165-1543),
+    writing results/<model>/<model>_results.json."""
+    cfg = cfg or get_preset(model_name, data_dir=data_dir)
+    save_dir = os.path.join(results_dir, model_name)
+    os.makedirs(save_dir, exist_ok=True)
+
+    val_ds = CellDataset(data_dir, split="val", max_size=max_size)
+    pad_shape = _pad_shape(max_size)
+    val_loader = BatchLoader(val_ds, 1, pad_shape, train=False, preprocess=False)
+
+    state = _build_state(model_name, cfg, 1, pad_shape, dtype)
+    ckpt = checkpoint_path or os.path.join("checkpoints", model_name, "best_model")
+    meta = {}
+    if checkpoint_exists(ckpt):
+        state, meta = load_checkpoint(ckpt, state)
+        log(f"Loaded checkpoint {ckpt} (best mIoU {meta.get('best_miou', 0.0):.4f})")
+    else:
+        log("WARNING: no checkpoint found; evaluating random init")
+
+    evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
+    results = evaluator.evaluate(val_loader)
+
+    results_file = os.path.join(save_dir, f"{model_name}_results.json")
+    with open(results_file, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=2, ensure_ascii=False)
+    log(f"Results saved to {results_file}")
+    return results
+
+
+def visualize_model(
+    model_name: str,
+    data_dir: str = "data",
+    checkpoint_dir: str = "checkpoints",
+    checkpoint_path: Optional[str] = None,
+    results_dir: str = "results",
+    regenerate_predictions: bool = False,
+    max_size: int = 640,
+    max_samples: int = 20,
+    cfg: Optional[TrainConfig] = None,
+    dtype=jnp.bfloat16,
+    log=print,
+) -> None:
+    """Standalone visualization mode (reference train_eval.py:1546-1801):
+    replay training history from the checkpoint, reload saved results, and
+    optionally regenerate prediction-based figures."""
+    from enhanced_unet_tpu.viz import Visualizer
+
+    cfg = cfg or get_preset(model_name, data_dir=data_dir)
+    save_dir = os.path.join(results_dir, model_name)
+    os.makedirs(save_dir, exist_ok=True)
+    visualizer = Visualizer(save_dir=save_dir)
+
+    # 1. training history from the checkpoint (train_eval.py:1566-1617)
+    ckpt = checkpoint_path or os.path.join(checkpoint_dir, model_name, "best_model")
+    history: Dict = {}
+    if checkpoint_exists(ckpt):
+        import json as _json
+
+        with open(os.path.join(ckpt, "meta.json"), encoding="utf-8") as f:
+            history = _json.load(f).get("history", {})
+        if history.get("train_loss"):
+            n = len(history["train_loss"])
+            live = history.get("val_live_iou", [])
+            dead = history.get("val_dead_iou", [])
+            dice = history.get("val_dice", [])
+            plot_history = {
+                "train_loss": history["train_loss"],
+                "val_loss": history.get("val_loss", history["train_loss"]),
+                "val_iou": [
+                    [0.0,
+                     live[i] if i < len(live) else 0.0,
+                     dead[i] if i < len(dead) else 0.0]
+                    for i in range(n)
+                ],
+                "val_dice": [
+                    ([0.0] + list(dice[i])) if i < len(dice) else [0.0, 0.0, 0.0]
+                    for i in range(n)
+                ],
+            }
+            visualizer.plot_training_curves(plot_history, model_name)
+            visualizer.plot_class_wise_metrics(plot_history, model_name)
+            visualizer.save_training_history_csv(history, model_name)
+        if history.get("learning_rate"):
+            visualizer.plot_learning_rate_schedule(history, model_name)
+    else:
+        log(f"No checkpoint found at {ckpt}")
+
+    # 2. reload saved evaluation results (train_eval.py:1621-1630)
+    results_file = os.path.join(save_dir, f"{model_name}_results.json")
+    if os.path.exists(results_file):
+        log(f"Loaded results: {results_file}")
+
+    # 3. regenerate prediction figures (train_eval.py:1632-1787)
+    if regenerate_predictions and checkpoint_exists(ckpt):
+        val_ds = CellDataset(data_dir, split="val", max_size=max_size)
+        pad_shape = _pad_shape(max_size)
+        loader = BatchLoader(val_ds, 1, pad_shape, train=False, preprocess=False)
+        state = _build_state(model_name, cfg, 1, pad_shape, dtype)
+        state, _ = load_checkpoint(ckpt, state)
+        evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
+
+        images, gts, preds, names, probs_all = [], [], [], [], []
+        for batch in loader:
+            for item in batch["batch_items"][: batch["n_real"]]:
+                img = np.asarray(item["image"], np.float32)
+                images.append(img)
+                gts.append(np.asarray(item["semantic_mask"]))
+                preds.append(evaluator.predict_semantic_mask(img))
+                probs_all.append(evaluator.predict_probs(img))
+                names.append(item["image_id"])
+                if len(images) >= max_samples:
+                    break
+            if len(images) >= max_samples:
+                break
+
+        if images:
+            visualizer.plot_sample_grid(images, gts, preds, model_name, names)
+            visualizer.plot_confusion_matrix(gts, preds, model_name)
+            visualizer.visualize_predictions(images, gts, preds, names, model_name)
+            visualizer.plot_cell_statistics(gts, preds, model_name)
+            visualizer.plot_per_image_metrics(gts, preds, model_name)
+            visualizer.plot_error_analysis(gts, preds, model_name)
+            visualizer.plot_class_distribution(gts, preds, model_name)
+            visualizer.plot_feature_importance(gts, preds, images, model_name)
+            visualizer.plot_roc_curves(probs_all, gts, model_name)
+            visualizer.plot_pr_curves(probs_all, gts, model_name)
+            visualizer.plot_calibration_curve(probs_all, gts, model_name)
+            visualizer.plot_boundary_accuracy(gts, preds, model_name)
+            visualizer.plot_size_based_performance(gts, preds, model_name)
+            visualizer.create_paper_figures(images, gts, preds, model_name, names)
+
+    # 4. cross-model comparison from aggregated results (train_eval.py:1794-1799)
+    Visualizer(save_dir=results_dir).plot_comprehensive_comparison_from_csv()
+
+
+def train_and_evaluate(
+    model_name: str,
+    data_dir: str = "data",
+    num_epochs: int = 50,
+    skip_training: bool = False,
+    **kwargs,
+) -> Dict:
+    """train + evaluate (reference train_eval.py:1024-1033)."""
+    ckpt = train_model(
+        model_name, data_dir, num_epochs, skip_training=skip_training, **kwargs
+    )
+    return evaluate_model(model_name, data_dir, checkpoint_path=ckpt)

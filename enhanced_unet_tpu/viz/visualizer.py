@@ -1,0 +1,729 @@
+"""Visualizer: the reference's full chart suite, re-implemented.
+
+Parity target: reference visualization.py:17-2429.  Every public method and
+output filename is preserved (PNG+SVG at dpi 300, visualization.py:83-119);
+internals are clean numpy/matplotlib implementations, with per-image metrics
+delegated to enhanced_unet_tpu.metrics.
+
+Charts (reference line refs in each method):
+training curves, LR schedule, class-wise metric curves, sample grids,
+confusion matrix, prediction overlays, cell statistics, per-image metric
+distributions, error analysis, class distribution, spatial accuracy,
+ROC/PR/calibration curves, boundary & size-stratified IoU, gradient flow,
+4 paper figures, cell-count comparison (+CSV), 12-figure cross-model
+comparison suite, CSV loaders.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from enhanced_unet_tpu.metrics.semantic import (
+    calculate_dice,
+    calculate_iou,
+    calculate_semantic_metrics,
+)
+
+CLASS_NAMES = ("background", "live", "dead")
+# bg black, live green, dead red (reference _colorize_mask,
+# visualization.py:2194-2213)
+CLASS_COLORS = np.array(
+    [[0.0, 0.0, 0.0], [0.0, 0.8, 0.2], [0.9, 0.1, 0.1]], dtype=np.float32
+)
+
+
+def _to_img(img) -> np.ndarray:
+    """Accept HWC / CHW float or uint8; return HWC float in [0,1]."""
+    a = np.asarray(img)
+    if a.ndim == 3 and a.shape[0] in (1, 3) and a.shape[0] < a.shape[-1]:
+        a = np.transpose(a, (1, 2, 0))
+    a = a.astype(np.float32)
+    if a.max() > 1.5:
+        a = a / 255.0
+    return np.clip(a, 0, 1)
+
+
+class Visualizer:
+    """Chart generator writing into save_dir (reference visualization.py:20)."""
+
+    def __init__(self, save_dir: str = "results"):
+        self.save_dir = save_dir
+        os.makedirs(save_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ io
+    def _save_figure(self, fig, filename: str, dpi: int = 300):
+        """PNG + SVG dumps (visualization.py:83-119)."""
+        for ext in ("png", "svg"):
+            fig.savefig(
+                os.path.join(self.save_dir, f"{filename}.{ext}"),
+                dpi=dpi,
+                bbox_inches="tight",
+            )
+        plt.close(fig)
+
+    def _colorize_mask(self, mask) -> np.ndarray:
+        mask = np.asarray(mask).astype(np.int32)
+        return CLASS_COLORS[np.clip(mask, 0, 2)]
+
+    mask_to_color = _colorize_mask  # reference alias (visualization.py:391)
+
+    # ------------------------------------------------------- training curves
+    def plot_training_curves(self, history: Dict, model_name: str):
+        """Loss + per-class IoU/Dice curves (visualization.py:121-195)."""
+        fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+        fig.suptitle(f"{model_name} training", fontsize=14, fontweight="bold")
+        ax = axes[0, 0]
+        ax.plot(history.get("train_loss", []), label="train loss")
+        ax.plot(history.get("val_loss", []), label="val loss", ls="--")
+        ax.set_xlabel("epoch"); ax.set_ylabel("loss"); ax.legend(); ax.grid(alpha=0.3)
+        ax = axes[0, 1]
+        val_iou = np.asarray(history.get("val_iou", []), dtype=float)
+        if val_iou.size:
+            for c in range(min(3, val_iou.shape[1])):
+                ax.plot(val_iou[:, c], label=f"{CLASS_NAMES[c]} IoU")
+        ax.set_xlabel("epoch"); ax.set_ylabel("IoU"); ax.legend(); ax.grid(alpha=0.3)
+        ax = axes[1, 0]
+        val_dice = np.asarray(history.get("val_dice", []), dtype=float)
+        if val_dice.size:
+            for c in range(min(3, val_dice.shape[1])):
+                ax.plot(val_dice[:, c], label=f"{CLASS_NAMES[c]} Dice")
+        ax.set_xlabel("epoch"); ax.set_ylabel("Dice"); ax.legend(); ax.grid(alpha=0.3)
+        ax = axes[1, 1]
+        if val_iou.size:
+            ax.plot(val_iou[:, 1:].mean(axis=1), label="cell mIoU", color="tab:purple")
+        ax.set_xlabel("epoch"); ax.set_ylabel("mIoU"); ax.legend(); ax.grid(alpha=0.3)
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_training_curves")
+
+    def plot_learning_rate_schedule(self, history: Dict, model_name: str):
+        """LR-vs-epoch (visualization.py:1546-1565)."""
+        lrs = history.get("learning_rate", history if isinstance(history, list) else [])
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.plot(lrs, marker=".")
+        ax.set_xlabel("epoch"); ax.set_ylabel("learning rate"); ax.set_yscale("log")
+        ax.set_title(f"{model_name} LR schedule"); ax.grid(alpha=0.3)
+        self._save_figure(fig, f"{model_name}_learning_rate")
+
+    def plot_class_wise_metrics(self, history: Dict, model_name: str):
+        """Per-class IoU/Dice over validation epochs (visualization.py:1201-1250)."""
+        fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+        for ax, key, title in zip(axes, ("val_iou", "val_dice"), ("IoU", "Dice")):
+            arr = np.asarray(history.get(key, []), dtype=float)
+            if arr.size:
+                for c in range(min(3, arr.shape[1])):
+                    ax.plot(arr[:, c], label=CLASS_NAMES[c], marker="o", ms=3)
+            ax.set_xlabel("val epoch"); ax.set_ylabel(title)
+            ax.set_title(f"{model_name} {title} per class")
+            ax.legend(); ax.grid(alpha=0.3)
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_class_wise_metrics")
+
+    def save_training_history_csv(self, history: Dict, model_name: str):
+        """history -> CSV (visualization.py:1518-1544)."""
+        path = os.path.join(self.save_dir, f"{model_name}_training_history.csv")
+        keys = [k for k, v in history.items() if isinstance(v, list)]
+        n = max((len(history[k]) for k in keys), default=0)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["epoch"] + keys)
+            for i in range(n):
+                w.writerow(
+                    [i + 1]
+                    + [history[k][i] if i < len(history[k]) else "" for k in keys]
+                )
+        return path
+
+    def plot_gradient_flow(self, grad_norms: Dict[str, float], model_name: str):
+        """Per-parameter gradient magnitudes (visualization.py:1567-1600).
+
+        Takes {param_name: mean_abs_grad} — the TPU trainer exposes this via
+        jax.tree flattening rather than module hooks.
+        """
+        names = list(grad_norms)
+        vals = [float(grad_norms[n]) for n in names]
+        fig, ax = plt.subplots(figsize=(max(8, len(names) * 0.25), 5))
+        ax.bar(range(len(vals)), vals, alpha=0.7)
+        ax.set_xticks(range(len(names)))
+        ax.set_xticklabels(names, rotation=90, fontsize=5)
+        ax.set_ylabel("mean |grad|"); ax.set_yscale("log")
+        ax.set_title(f"{model_name} gradient flow")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_gradient_flow")
+
+    # --------------------------------------------------------- sample grids
+    def plot_sample_grid(self, images, masks_true, masks_pred, model_name: str,
+                         filenames: Optional[Sequence[str]] = None, max_rows: int = 6):
+        """Rows of [image | GT | prediction] (visualization.py:197-292)."""
+        n = min(len(images), max_rows)
+        fig, axes = plt.subplots(n, 3, figsize=(12, 4 * n), squeeze=False)
+        for i in range(n):
+            axes[i, 0].imshow(_to_img(images[i]))
+            axes[i, 0].set_title(
+                filenames[i] if filenames else f"sample {i}", fontsize=8
+            )
+            axes[i, 1].imshow(self._colorize_mask(masks_true[i]))
+            axes[i, 1].set_title("ground truth", fontsize=8)
+            axes[i, 2].imshow(self._colorize_mask(masks_pred[i]))
+            m = calculate_semantic_metrics(
+                np.asarray(masks_pred[i]), np.asarray(masks_true[i])
+            )
+            axes[i, 2].set_title(f"pred (mIoU {m['sem_mean_iou']:.3f})", fontsize=8)
+            for j in range(3):
+                axes[i, j].axis("off")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_sample_grid")
+
+    def plot_sample_predictions_grid(self, images, masks_true, masks_pred,
+                                     filenames, model_name: str):
+        """Alternate grid entry point (visualization.py:1360-1401); the
+        reference saves it under the same filename as plot_sample_grid."""
+        self.plot_sample_grid(images, masks_true, masks_pred, model_name,
+                              filenames=filenames)
+
+    def visualize_predictions(self, images, masks_true, masks_pred,
+                              filenames, model_name: str, max_rows: int = 4):
+        """Overlay predictions on the input (visualization.py:342-389)."""
+        n = min(len(images), max_rows)
+        fig, axes = plt.subplots(n, 2, figsize=(10, 4 * n), squeeze=False)
+        for i in range(n):
+            img = _to_img(images[i])
+            for j, (mask, title) in enumerate(
+                ((masks_true[i], "GT overlay"), (masks_pred[i], "pred overlay"))
+            ):
+                color = self._colorize_mask(mask)
+                over = np.where(
+                    np.asarray(mask)[..., None] > 0, 0.5 * img + 0.5 * color, img
+                )
+                axes[i, j].imshow(np.clip(over, 0, 1))
+                axes[i, j].set_title(f"{title} — {filenames[i]}", fontsize=8)
+                axes[i, j].axis("off")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_predictions")
+
+    # ----------------------------------------------------------- statistics
+    def plot_confusion_matrix(self, masks_true, masks_pred, model_name: str):
+        """Pixel-level 3x3 confusion matrix, row-normalized
+        (visualization.py:294-340)."""
+        cm = np.zeros((3, 3), dtype=np.float64)
+        for t, p in zip(masks_true, masks_pred):
+            t = np.asarray(t).ravel(); p = np.asarray(p).ravel()
+            idx = t * 3 + p
+            cm += np.bincount(idx, minlength=9).reshape(3, 3)
+        norm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(norm, cmap="Blues", vmin=0, vmax=1)
+        for i in range(3):
+            for j in range(3):
+                ax.text(j, i, f"{norm[i, j]:.2f}\n({int(cm[i, j])})",
+                        ha="center", va="center", fontsize=8,
+                        color="white" if norm[i, j] > 0.5 else "black")
+        ax.set_xticks(range(3)); ax.set_xticklabels(CLASS_NAMES)
+        ax.set_yticks(range(3)); ax.set_yticklabels(CLASS_NAMES)
+        ax.set_xlabel("predicted"); ax.set_ylabel("true")
+        ax.set_title(f"{model_name} confusion matrix")
+        fig.colorbar(im)
+        self._save_figure(fig, f"{model_name}_confusion_matrix")
+
+    def plot_cell_statistics(self, masks_true, masks_pred, model_name: str):
+        """Pixel-count distributions per class, GT vs pred
+        (visualization.py:404-494)."""
+        stats = {c: {"gt": [], "pred": []} for c in (1, 2)}
+        for t, p in zip(masks_true, masks_pred):
+            for c in (1, 2):
+                stats[c]["gt"].append(int((np.asarray(t) == c).sum()))
+                stats[c]["pred"].append(int((np.asarray(p) == c).sum()))
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        for ax, c in zip(axes, (1, 2)):
+            x = np.arange(len(stats[c]["gt"]))
+            ax.bar(x - 0.2, stats[c]["gt"], 0.4, label="GT", alpha=0.8)
+            ax.bar(x + 0.2, stats[c]["pred"], 0.4, label="pred", alpha=0.8)
+            ax.set_title(f"{CLASS_NAMES[c]} pixels per image")
+            ax.set_xlabel("image"); ax.set_ylabel("pixels")
+            ax.legend(); ax.grid(alpha=0.3)
+        fig.suptitle(f"{model_name} cell statistics")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_cell_statistics")
+
+    def plot_per_image_metrics(self, masks_true, masks_pred, model_name: str):
+        """Histogram of per-image IoU/Dice (visualization.py:1274-1357)."""
+        ious, dices = [], []
+        for t, p in zip(masks_true, masks_pred):
+            m = calculate_semantic_metrics(np.asarray(p), np.asarray(t))
+            ious.append(m["sem_mean_iou"]); dices.append(m["sem_mean_dice"])
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        for ax, vals, name in zip(axes, (ious, dices), ("mIoU", "mDice")):
+            ax.hist(vals, bins=min(10, max(3, len(vals))), alpha=0.75,
+                    edgecolor="black")
+            ax.axvline(np.mean(vals), color="red", ls="--",
+                       label=f"mean {np.mean(vals):.3f}")
+            ax.set_xlabel(name); ax.set_ylabel("images"); ax.legend()
+            ax.grid(alpha=0.3)
+        fig.suptitle(f"{model_name} per-image metrics")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_per_image_metrics")
+
+    def plot_error_analysis(self, masks_true, masks_pred, model_name: str):
+        """False-positive / false-negative / class-swap breakdown per image
+        (visualization.py:1403-1516)."""
+        fp, fn, swap = [], [], []
+        for t, p in zip(masks_true, masks_pred):
+            t = np.asarray(t); p = np.asarray(p)
+            fp.append(int(((t == 0) & (p > 0)).sum()))
+            fn.append(int(((t > 0) & (p == 0)).sum()))
+            swap.append(int(((t > 0) & (p > 0) & (t != p)).sum()))
+        x = np.arange(len(fp))
+        fig, axes = plt.subplots(1, 2, figsize=(13, 5))
+        axes[0].bar(x - 0.25, fp, 0.25, label="false positive")
+        axes[0].bar(x, fn, 0.25, label="false negative")
+        axes[0].bar(x + 0.25, swap, 0.25, label="class swap")
+        axes[0].set_xlabel("image"); axes[0].set_ylabel("pixels")
+        axes[0].legend(); axes[0].grid(alpha=0.3)
+        totals = [sum(fp), sum(fn), sum(swap)]
+        if sum(totals) == 0:
+            totals = [1, 0, 0]
+        axes[1].pie(totals, labels=("FP", "FN", "swap"), autopct="%1.1f%%")
+        fig.suptitle(f"{model_name} error analysis")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_error_analysis")
+
+    def plot_class_distribution(self, masks_true, masks_pred, model_name: str):
+        """Overall class pixel shares, GT vs pred (visualization.py:1629-1684)."""
+        gt = np.zeros(3); pr = np.zeros(3)
+        for t, p in zip(masks_true, masks_pred):
+            gt += np.bincount(np.asarray(t).ravel(), minlength=3)[:3]
+            pr += np.bincount(np.asarray(p).ravel(), minlength=3)[:3]
+        x = np.arange(3)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.bar(x - 0.2, gt / max(gt.sum(), 1), 0.4, label="GT")
+        ax.bar(x + 0.2, pr / max(pr.sum(), 1), 0.4, label="pred")
+        ax.set_xticks(x); ax.set_xticklabels(CLASS_NAMES)
+        ax.set_ylabel("pixel share"); ax.legend(); ax.grid(alpha=0.3)
+        ax.set_title(f"{model_name} class distribution")
+        self._save_figure(fig, f"{model_name}_class_distribution")
+
+    def plot_feature_importance(self, masks_true, masks_pred, images,
+                                model_name: str):
+        """Spatial accuracy heatmap (visualization.py:1602-1627)."""
+        acc = None
+        for t, p in zip(masks_true, masks_pred):
+            correct = (np.asarray(t) == np.asarray(p)).astype(np.float64)
+            acc = correct if acc is None else acc + correct
+        acc = acc / max(len(masks_true), 1)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(acc, cmap="RdYlGn", vmin=0, vmax=1)
+        ax.set_title(f"{model_name} spatial accuracy")
+        fig.colorbar(im)
+        self._save_figure(fig, f"{model_name}_spatial_analysis")
+
+    # ------------------------------------------------------ curve analyses
+    def plot_roc_curves(self, probs_all, masks_true, model_name: str):
+        """One-vs-rest ROC per class (visualization.py:1096-1147)."""
+        fig, ax = plt.subplots(figsize=(7, 6))
+        for c in range(3):
+            scores, labels = self._flatten_class(probs_all, masks_true, c)
+            fpr, tpr = _roc(labels, scores)
+            auc = float(np.trapezoid(tpr, fpr))
+            ax.plot(fpr, tpr, label=f"{CLASS_NAMES[c]} (AUC {auc:.3f})")
+        ax.plot([0, 1], [0, 1], "k--", alpha=0.4)
+        ax.set_xlabel("FPR"); ax.set_ylabel("TPR"); ax.legend()
+        ax.set_title(f"{model_name} ROC"); ax.grid(alpha=0.3)
+        self._save_figure(fig, f"{model_name}_roc_curves")
+
+    def plot_pr_curves(self, probs_all, masks_true, model_name: str):
+        """One-vs-rest precision/recall per class (visualization.py:1149-1199)."""
+        fig, ax = plt.subplots(figsize=(7, 6))
+        for c in range(3):
+            scores, labels = self._flatten_class(probs_all, masks_true, c)
+            prec, rec = _pr(labels, scores)
+            ap = float(-np.trapezoid(prec, rec)) if len(rec) > 1 else 0.0
+            ax.plot(rec, prec, label=f"{CLASS_NAMES[c]} (AP {abs(ap):.3f})")
+        ax.set_xlabel("recall"); ax.set_ylabel("precision"); ax.legend()
+        ax.set_title(f"{model_name} PR"); ax.grid(alpha=0.3)
+        self._save_figure(fig, f"{model_name}_pr_curves")
+
+    def plot_calibration_curve(self, probs_all, masks_true, model_name: str,
+                               n_bins: int = 10):
+        """Reliability diagram over max-prob (visualization.py:1819-1900)."""
+        confs, correct = [], []
+        for probs, t in zip(probs_all, masks_true):
+            probs = self._probs_hwc(probs)
+            pred = probs.argmax(-1)
+            confs.append(probs.max(-1).ravel())
+            correct.append((pred == np.asarray(t)).ravel())
+        confs = np.concatenate(confs); correct = np.concatenate(correct)
+        bins = np.linspace(0, 1, n_bins + 1)
+        mids, accs = [], []
+        for i in range(n_bins):
+            sel = (confs >= bins[i]) & (confs < bins[i + 1])
+            if sel.sum() > 0:
+                mids.append(confs[sel].mean()); accs.append(correct[sel].mean())
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.plot([0, 1], [0, 1], "k--", alpha=0.4, label="perfect")
+        ax.plot(mids, accs, marker="o", label="model")
+        ax.set_xlabel("confidence"); ax.set_ylabel("accuracy"); ax.legend()
+        ax.set_title(f"{model_name} calibration"); ax.grid(alpha=0.3)
+        self._save_figure(fig, f"{model_name}_calibration")
+
+    def plot_boundary_accuracy(self, masks_true, masks_pred, model_name: str,
+                               boundary_width: int = 2):
+        """Boundary-band vs interior IoU (visualization.py:1687-1751)."""
+        from scipy import ndimage
+
+        b_iou, i_iou = [], []
+        for t, p in zip(masks_true, masks_pred):
+            t = np.asarray(t); p = np.asarray(p)
+            cells = t > 0
+            er = ndimage.binary_erosion(cells, iterations=boundary_width)
+            boundary = cells & ~er
+            interior = er
+            for region, acc in ((boundary, b_iou), (interior, i_iou)):
+                if region.sum() > 0:
+                    acc.append(float((t[region] == p[region]).mean()))
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ax.bar(["boundary", "interior"],
+               [np.mean(b_iou) if b_iou else 0, np.mean(i_iou) if i_iou else 0],
+               alpha=0.8, color=["tab:orange", "tab:blue"])
+        ax.set_ylabel("pixel accuracy")
+        ax.set_title(f"{model_name} boundary vs interior accuracy")
+        ax.grid(alpha=0.3)
+        self._save_figure(fig, f"{model_name}_boundary_accuracy")
+
+    def plot_size_based_performance(self, masks_true, masks_pred,
+                                    model_name: str):
+        """IoU stratified by GT instance size (visualization.py:1753-1817)."""
+        from scipy import ndimage
+
+        buckets = {"small (<50px)": [], "medium (50-200px)": [], "large (>200px)": []}
+        for t, p in zip(masks_true, masks_pred):
+            t = np.asarray(t); p = np.asarray(p)
+            for c in (1, 2):
+                lab, n = ndimage.label(t == c, structure=np.ones((3, 3)))
+                for i in range(1, n + 1):
+                    inst = lab == i
+                    a = inst.sum()
+                    iou = calculate_iou(inst & (p == c), inst)
+                    if a < 50:
+                        buckets["small (<50px)"].append(iou)
+                    elif a <= 200:
+                        buckets["medium (50-200px)"].append(iou)
+                    else:
+                        buckets["large (>200px)"].append(iou)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        names = list(buckets)
+        ax.bar(names, [np.mean(v) if v else 0 for v in buckets.values()], alpha=0.8)
+        for i, v in enumerate(buckets.values()):
+            ax.text(i, (np.mean(v) if v else 0) + 0.01, f"n={len(v)}",
+                    ha="center", fontsize=8)
+        ax.set_ylabel("recall IoU")
+        ax.set_title(f"{model_name} size-stratified performance")
+        ax.grid(alpha=0.3)
+        self._save_figure(fig, f"{model_name}_size_performance")
+
+    # ----------------------------------------------------------- paper figs
+    def create_paper_figures(self, images, masks_true, masks_pred,
+                             model_name: str, filenames=None):
+        """Four publication figures (visualization.py:1904-2186)."""
+        n = min(3, len(images))
+        # fig 1: side-by-side comparison
+        fig, axes = plt.subplots(n, 3, figsize=(12, 4 * n), squeeze=False)
+        for i in range(n):
+            axes[i, 0].imshow(_to_img(images[i])); axes[i, 0].set_title("input")
+            axes[i, 1].imshow(self._colorize_mask(masks_true[i]))
+            axes[i, 1].set_title("ground truth")
+            axes[i, 2].imshow(self._colorize_mask(masks_pred[i]))
+            axes[i, 2].set_title(model_name)
+            for j in range(3):
+                axes[i, j].axis("off")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_paper_fig1_comparison")
+
+        # fig 2: overlays
+        fig, axes = plt.subplots(1, n, figsize=(5 * n, 5), squeeze=False)
+        for i in range(n):
+            img = _to_img(images[i])
+            color = self._colorize_mask(masks_pred[i])
+            over = np.where(np.asarray(masks_pred[i])[..., None] > 0,
+                            0.45 * img + 0.55 * color, img)
+            axes[0, i].imshow(np.clip(over, 0, 1)); axes[0, i].axis("off")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_paper_fig2_overlay")
+
+        # fig 3: error maps
+        fig, axes = plt.subplots(1, n, figsize=(5 * n, 5), squeeze=False)
+        for i in range(n):
+            t = np.asarray(masks_true[i]); p = np.asarray(masks_pred[i])
+            err = np.zeros((*t.shape, 3), np.float32)
+            err[(t == 0) & (p > 0)] = (1, 0.6, 0)     # FP orange
+            err[(t > 0) & (p == 0)] = (0.2, 0.4, 1)   # FN blue
+            err[(t > 0) & (p > 0) & (t != p)] = (1, 0, 1)  # swap magenta
+            axes[0, i].imshow(err); axes[0, i].axis("off")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_paper_fig3_errors")
+
+        # fig 4: detailed single-sample panel with metrics
+        t = np.asarray(masks_true[0]); p = np.asarray(masks_pred[0])
+        m = calculate_semantic_metrics(p, t)
+        fig, axes = plt.subplots(1, 4, figsize=(18, 5))
+        axes[0].imshow(_to_img(images[0])); axes[0].set_title("input")
+        axes[1].imshow(self._colorize_mask(t)); axes[1].set_title("GT")
+        axes[2].imshow(self._colorize_mask(p)); axes[2].set_title("prediction")
+        axes[3].axis("off")
+        txt = "\n".join(f"{k}: {v:.3f}" for k, v in sorted(m.items()))
+        axes[3].text(0.02, 0.5, txt, fontsize=9, va="center", family="monospace")
+        for a in axes[:3]:
+            a.axis("off")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_paper_fig4_detailed")
+
+    def plot_cell_count_comparison(self, comparison_data: List[Dict],
+                                   model_name: str):
+        """Per-image GT/pred cell counts + viability, with CSV dump
+        (visualization.py:2215-2429)."""
+        if not comparison_data:
+            return
+        x = np.arange(len(comparison_data))
+        gl = [d["gt_live_count"] for d in comparison_data]
+        pl = [d["pred_live_count"] for d in comparison_data]
+        gd = [d["gt_dead_count"] for d in comparison_data]
+        pd_ = [d["pred_dead_count"] for d in comparison_data]
+        gv = [d["gt_viability"] for d in comparison_data]
+        pv = [d["pred_viability"] for d in comparison_data]
+        fig, axes = plt.subplots(3, 1, figsize=(max(8, len(x) * 0.6), 12))
+        axes[0].bar(x - 0.2, gl, 0.4, label="GT live")
+        axes[0].bar(x + 0.2, pl, 0.4, label="pred live")
+        axes[0].set_ylabel("live cells"); axes[0].legend(); axes[0].grid(alpha=0.3)
+        axes[1].bar(x - 0.2, gd, 0.4, label="GT dead", color="tab:red", alpha=0.7)
+        axes[1].bar(x + 0.2, pd_, 0.4, label="pred dead", color="tab:orange")
+        axes[1].set_ylabel("dead cells"); axes[1].legend(); axes[1].grid(alpha=0.3)
+        axes[2].plot(x, gv, marker="o", label="GT viability %")
+        axes[2].plot(x, pv, marker="s", label="pred viability %")
+        axes[2].set_ylabel("viability %"); axes[2].set_xlabel("image")
+        axes[2].legend(); axes[2].grid(alpha=0.3)
+        fig.suptitle(f"{model_name} cell count comparison")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_cell_count_comparison")
+
+        csv_path = os.path.join(
+            self.save_dir, f"{model_name}_cell_count_comparison.csv"
+        )
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(comparison_data[0]))
+            w.writeheader()
+            w.writerows(comparison_data)
+
+    # --------------------------------------------------- cross-model suite
+    def plot_model_comparison(self, results: Dict[str, Dict]):
+        """Simple 4-panel comparison (visualization.py:496-531)."""
+        models = list(results)
+        fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+        panels = (
+            ("sem_mean_iou", "semantic mIoU"),
+            ("sem_mean_dice", "semantic mDice"),
+            ("viability_accuracy", "viability accuracy"),
+            ("segm_mAP", "segm mAP"),
+        )
+        for ax, (key, title) in zip(axes.ravel(), panels):
+            vals = [results[m].get(key, 0.0) for m in models]
+            ax.bar(models, vals, alpha=0.8)
+            ax.set_title(title); ax.tick_params(axis="x", rotation=45)
+            ax.grid(alpha=0.3)
+        fig.tight_layout()
+        self._save_figure(fig, "model_comparison")
+
+    def plot_comprehensive_comparison(self, results: Dict[str, Dict]):
+        """12-figure comparison suite (visualization.py:534-1025):
+        overall bars, per-class IoU/Dice, radar, heatmap, boxplot, stacked,
+        scatter, ranking, composite score, balance, table."""
+        models = list(results)
+        if not models:
+            return
+
+        def get(m, k, d=0.0):
+            return float(results[m].get(k, d))
+
+        # 1. overall metrics bars
+        keys = ["sem_mean_iou", "sem_mean_dice", "viability_accuracy",
+                "bbox_mAP", "segm_mAP"]
+        fig, ax = plt.subplots(figsize=(12, 6))
+        x = np.arange(len(models)); w = 0.15
+        for i, k in enumerate(keys):
+            ax.bar(x + (i - 2) * w, [get(m, k) for m in models], w, label=k)
+        ax.set_xticks(x); ax.set_xticklabels(models, rotation=45, ha="right")
+        ax.legend(fontsize=7); ax.grid(alpha=0.3)
+        ax.set_title("overall metrics")
+        self._save_figure(fig, "comparison_overall_metrics")
+
+        # 2-3. per-class IoU / Dice
+        for metric, fname in (("iou", "comparison_class_iou"),
+                              ("dice", "comparison_class_dice")):
+            fig, ax = plt.subplots(figsize=(10, 6))
+            for i, cname in enumerate(CLASS_NAMES):
+                vals = [get(m, f"sem_{cname}_{metric}") for m in models]
+                ax.bar(x + (i - 1) * 0.25, vals, 0.25, label=cname)
+            ax.set_xticks(x); ax.set_xticklabels(models, rotation=45, ha="right")
+            ax.set_ylabel(metric); ax.legend(); ax.grid(alpha=0.3)
+            self._save_figure(fig, fname)
+
+        # 4. radar
+        radar_keys = ["sem_mean_iou", "sem_mean_dice", "live_precision",
+                      "dead_precision", "viability_accuracy"]
+        angles = np.linspace(0, 2 * np.pi, len(radar_keys), endpoint=False)
+        fig, ax = plt.subplots(figsize=(8, 8), subplot_kw={"polar": True})
+        for m in models:
+            vals = [get(m, k) for k in radar_keys]
+            ax.plot(np.append(angles, angles[0]), vals + [vals[0]], label=m)
+            ax.fill(np.append(angles, angles[0]), vals + [vals[0]], alpha=0.08)
+        ax.set_xticks(angles); ax.set_xticklabels(radar_keys, fontsize=7)
+        ax.legend(loc="upper right", bbox_to_anchor=(1.3, 1.1), fontsize=7)
+        self._save_figure(fig, "comparison_radar")
+
+        # 5. heatmap
+        hm_keys = keys + ["live_iou", "dead_iou", "live_recall", "dead_recall"]
+        mat = np.array([[get(m, k) for k in hm_keys] for m in models])
+        fig, ax = plt.subplots(figsize=(12, 6))
+        im = ax.imshow(mat, cmap="viridis", aspect="auto")
+        ax.set_xticks(range(len(hm_keys)))
+        ax.set_xticklabels(hm_keys, rotation=45, ha="right", fontsize=7)
+        ax.set_yticks(range(len(models))); ax.set_yticklabels(models)
+        for i in range(len(models)):
+            for j in range(len(hm_keys)):
+                ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
+                        fontsize=6, color="white")
+        fig.colorbar(im)
+        self._save_figure(fig, "comparison_heatmap")
+
+        # 6. boxplot of metric spreads
+        fig, ax = plt.subplots(figsize=(10, 6))
+        ax.boxplot([[get(m, k) for k in hm_keys] for m in models],
+                   tick_labels=models)
+        ax.tick_params(axis="x", rotation=45); ax.grid(alpha=0.3)
+        ax.set_title("metric spread per model")
+        self._save_figure(fig, "comparison_boxplot")
+
+        # 7. stacked contributions
+        fig, ax = plt.subplots(figsize=(10, 6))
+        bottom = np.zeros(len(models))
+        for k in keys:
+            vals = np.array([get(m, k) for m in models])
+            ax.bar(models, vals, bottom=bottom, label=k)
+            bottom += vals
+        ax.legend(fontsize=7); ax.tick_params(axis="x", rotation=45)
+        self._save_figure(fig, "comparison_stacked")
+
+        # 8. scatter iou vs viability
+        fig, ax = plt.subplots(figsize=(8, 6))
+        for m in models:
+            ax.scatter(get(m, "sem_mean_iou"), get(m, "viability_accuracy"), s=80)
+            ax.annotate(m, (get(m, "sem_mean_iou"), get(m, "viability_accuracy")),
+                        fontsize=8)
+        ax.set_xlabel("sem mIoU"); ax.set_ylabel("viability accuracy")
+        ax.grid(alpha=0.3)
+        self._save_figure(fig, "comparison_scatter")
+
+        # 9. ranking
+        comp = {m: np.mean([get(m, k) for k in keys]) for m in models}
+        order = sorted(models, key=lambda m: -comp[m])
+        fig, ax = plt.subplots(figsize=(9, 5))
+        ax.barh(order[::-1], [comp[m] for m in order[::-1]], alpha=0.85)
+        ax.set_xlabel("mean of headline metrics"); ax.grid(alpha=0.3)
+        self._save_figure(fig, "comparison_ranking")
+
+        # 10. composite score
+        fig, ax = plt.subplots(figsize=(9, 5))
+        ax.bar(models, [comp[m] for m in models], alpha=0.85, color="tab:green")
+        ax.tick_params(axis="x", rotation=45); ax.grid(alpha=0.3)
+        ax.set_title("composite score")
+        self._save_figure(fig, "comparison_composite")
+
+        # 11. live/dead balance
+        fig, ax = plt.subplots(figsize=(9, 5))
+        live = [get(m, "sem_live_iou") for m in models]
+        dead = [get(m, "sem_dead_iou") for m in models]
+        ax.bar(x - 0.2, live, 0.4, label="live IoU")
+        ax.bar(x + 0.2, dead, 0.4, label="dead IoU")
+        ax.set_xticks(x); ax.set_xticklabels(models, rotation=45, ha="right")
+        ax.legend(); ax.grid(alpha=0.3); ax.set_title("class balance")
+        self._save_figure(fig, "comparison_balance")
+
+        # 12. table
+        fig, ax = plt.subplots(figsize=(14, 1 + 0.5 * len(models)))
+        ax.axis("off")
+        cols = ["model"] + hm_keys
+        cells = [[m] + [f"{get(m, k):.4f}" for k in hm_keys] for m in models]
+        table = ax.table(cellText=cells, colLabels=cols, loc="center",
+                         cellLoc="center")
+        table.auto_set_font_size(False); table.set_fontsize(7)
+        self._save_figure(fig, "comparison_table")
+
+    def load_evaluation_results(self):
+        """results/evaluation_results.csv -> list of dicts
+        (visualization.py:1027-1040; pandas-free)."""
+        path = os.path.join(self.save_dir, "evaluation_results.csv")
+        if not os.path.exists(path):
+            return []
+        with open(path, newline="", encoding="utf-8-sig") as f:
+            return list(csv.DictReader(f))
+
+    def plot_comprehensive_comparison_from_csv(self):
+        """Rebuild the comparison suite from the CLI's results JSON/CSV
+        (visualization.py:1042-1093)."""
+        json_path = os.path.join(self.save_dir, "evaluation_results.json")
+        if os.path.exists(json_path):
+            with open(json_path, encoding="utf-8") as f:
+                results = json.load(f)
+            self.plot_comprehensive_comparison(results)
+            return True
+        return False
+
+    # ------------------------------------------------------------- helpers
+    @staticmethod
+    def _probs_hwc(probs) -> np.ndarray:
+        p = np.asarray(probs)
+        if p.ndim == 3 and p.shape[0] == 3 and p.shape[0] < p.shape[-1]:
+            p = np.transpose(p, (1, 2, 0))
+        return p
+
+    def _flatten_class(self, probs_all, masks_true, c, max_px: int = 200_000):
+        scores, labels = [], []
+        for probs, t in zip(probs_all, masks_true):
+            p = self._probs_hwc(probs)
+            scores.append(p[..., c].ravel())
+            labels.append((np.asarray(t).ravel() == c))
+        scores = np.concatenate(scores); labels = np.concatenate(labels)
+        if scores.size > max_px:  # subsample for plot speed
+            idx = np.random.default_rng(0).choice(scores.size, max_px,
+                                                  replace=False)
+            scores, labels = scores[idx], labels[idx]
+        return scores, labels
+
+
+def _roc(labels: np.ndarray, scores: np.ndarray):
+    order = np.argsort(-scores)
+    labels = labels[order]
+    tps = np.cumsum(labels)
+    fps = np.cumsum(~labels)
+    P = max(labels.sum(), 1)
+    N = max((~labels).sum(), 1)
+    tpr = np.concatenate([[0], tps / P, [1]])
+    fpr = np.concatenate([[0], fps / N, [1]])
+    return fpr, tpr
+
+
+def _pr(labels: np.ndarray, scores: np.ndarray):
+    order = np.argsort(-scores)
+    labels = labels[order]
+    tps = np.cumsum(labels)
+    fps = np.cumsum(~labels)
+    P = max(labels.sum(), 1)
+    prec = tps / np.maximum(tps + fps, 1)
+    rec = tps / P
+    return np.concatenate([[1], prec]), np.concatenate([[0], rec])

@@ -1,0 +1,32 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths
+(Mesh / shard_map / psum) are exercised without TPU hardware — the standard
+JAX fake-multi-device trick (SURVEY.md §4c).  Must be set before jax import.
+"""
+
+import os
+
+# force CPU even when the session environment pins JAX_PLATFORMS=axon (TPU):
+# parity tolerances assume fp32 CPU math, and the virtual multi-device trick
+# only works on the host platform.  The axon sitecustomize imports jax at
+# interpreter start, so the env var alone is too late — set the config knob
+# post-import as well (backends initialize lazily, so this still wins).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

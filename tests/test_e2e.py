@@ -1,0 +1,82 @@
+"""End-to-end smoke: synthetic 2-class dataset through train -> eval with
+the orchestration API (SURVEY §4e), on CPU with a tiny BasicUNet."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthdata import make_synthetic_dataset
+
+from enhanced_unet_tpu.config import get_preset
+from enhanced_unet_tpu.train.api import evaluate_model, train_model
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cells")
+    # 6 images -> train 4 / val 0 (int(6*0.15)=0)... need >=7 for val>=1
+    make_synthetic_dataset(str(d), n_images=7, size=96)
+    return str(d)
+
+
+def test_train_eval_roundtrip(data_dir, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpts")
+    results_dir = str(tmp_path / "results")
+    cfg = get_preset("unet", num_epochs=3, data_dir=data_dir)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, num_epochs=3, eval_every_epochs=3)
+
+    ckpt = train_model(
+        "unet_basic",
+        data_dir=data_dir,
+        num_epochs=3,
+        checkpoint_dir=ckpt_dir,
+        max_size=96,
+        cfg=cfg,
+        dtype=jnp.float32,
+        log=lambda *a: None,
+    )
+    assert os.path.exists(os.path.join(ckpt, "meta.json"))
+
+    results = evaluate_model(
+        "unet_basic",
+        data_dir=data_dir,
+        checkpoint_path=ckpt,
+        results_dir=results_dir,
+        max_size=96,
+        cfg=cfg,
+        dtype=jnp.float32,
+        log=lambda *a: None,
+    )
+    # the full reference metric surface is present
+    for key in (
+        "sem_mean_iou", "sem_mean_dice", "sem_live_iou", "sem_dead_iou",
+        "live_iou", "live_precision", "live_recall",
+        "dead_iou", "dead_precision", "dead_recall",
+        "bbox_mAP", "segm_mAP", "viability_accuracy",
+    ):
+        assert key in results, key
+        assert np.isfinite(results[key]), key
+    # results JSON persisted with the reference's layout
+    out = os.path.join(results_dir, "unet_basic", "unet_basic_results.json")
+    assert os.path.exists(out)
+
+
+def test_skip_training_reuses_checkpoint(data_dir, tmp_path):
+    ckpt_dir = str(tmp_path / "ck2")
+    cfg = get_preset("unet", num_epochs=1, data_dir=data_dir)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, num_epochs=1, eval_every_epochs=1)
+    kwargs = dict(
+        data_dir=data_dir, num_epochs=1, checkpoint_dir=ckpt_dir,
+        max_size=96, cfg=cfg, dtype=jnp.float32, log=lambda *a: None,
+    )
+    p1 = train_model("unet_basic", **kwargs)
+    mtime = os.path.getmtime(os.path.join(p1, "meta.json"))
+    p2 = train_model("unet_basic", skip_training=True, **kwargs)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "meta.json")) == mtime

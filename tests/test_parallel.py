@@ -1,0 +1,136 @@
+"""Multi-chip data parallelism on the 8-virtual-device CPU mesh.
+
+The key invariant: a DP step over N replicas with global batch B*N computes
+the same parameter update as a single-device step over the same global
+batch would with summed/averaged gradients (up to fp noise), and replicas
+stay in lockstep.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhanced_unet_tpu.config import get_preset
+from enhanced_unet_tpu.models import get_model
+from enhanced_unet_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from enhanced_unet_tpu.train.trainer import create_train_state, make_train_step
+
+
+# function scope: the DP step donates the replicated state, whose device-0
+# shard aliases the original buffers — each test needs a fresh state
+@pytest.fixture
+def setup():
+    cfg = get_preset("unet", num_epochs=4)
+    model = get_model("unet_basic", dtype=jnp.float32)
+    state = create_train_state(
+        model, cfg, steps_per_epoch=2, rng=jax.random.key(0),
+        input_shape=(2, 32, 32, 3),
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    masks = jnp.asarray(rng.integers(0, 3, (8, 32, 32)), jnp.int32)
+    valid = jnp.ones((8, 32, 32), bool)
+    return cfg, state, images, masks, valid
+
+
+def test_eight_virtual_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_dp_step_runs_and_reduces(setup):
+    cfg, state, images, masks, valid = setup
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(cfg, mesh)
+    state_r = replicate_state(state, mesh)
+    images, masks, valid = shard_batch((images, masks, valid), mesh)
+    new_state, metrics = dp_step(state_r, images, masks, valid, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    # replicated output: every shard of a param must be identical
+    p = jax.tree.leaves(new_state.params)[0]
+    assert p.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device_update(setup):
+    cfg, state, images, masks, valid = setup
+    mesh = make_mesh(8)
+
+    # single-device step over the same global batch.  The DP loss is the
+    # mean of per-replica means over batch-of-1 shards; with uniform shapes
+    # the gradient of that equals the gradient of the global-batch mean loss
+    # for the focal term, but Dice/Tversky per-sample normalization makes
+    # per-shard-then-mean differ slightly from global mean — so compare
+    # against the explicit per-shard average.
+    step_1dev = jax.jit(make_train_step(cfg, axis_name=None))
+    per_shard_losses = []
+    grads_sum = None
+
+    import optax
+    from enhanced_unet_tpu.ops.losses import combined_loss_with_aux
+
+    def loss_fn(params, img, msk, vld, key):
+        (logits, aux), _ = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            img, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        return combined_loss_with_aux(logits, aux, msk, cfg.loss, vld)
+
+    for i in range(8):
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(1), 0), i
+        )  # fold_in(step=0) then axis_index=i — mirrors make_train_step
+        l, g = jax.value_and_grad(loss_fn)(
+            state.params, images[i : i + 1], masks[i : i + 1],
+            valid[i : i + 1], key,
+        )
+        per_shard_losses.append(float(l))
+        grads_sum = g if grads_sum is None else jax.tree.map(jnp.add, grads_sum, g)
+
+    mean_loss = np.mean(per_shard_losses)
+    grads_mean = jax.tree.map(lambda x: np.asarray(x / 8.0), grads_sum)
+    start_params = jax.tree.map(np.asarray, state.params)
+
+    # run the DP step with an SGD(1.0) optimizer so that
+    # params_old - params_new == pmean(grads): Adam at step 1 is
+    # sign(grad)-like and numerically unstable to compare.
+    sgd = optax.sgd(1.0)
+    state = state.replace(tx=sgd, opt_state=sgd.init(state.params))
+    dp_step = make_dp_train_step(cfg, mesh)
+    state_r = replicate_state(state, mesh)
+    s_images, s_masks, s_valid = shard_batch((images, masks, valid), mesh)
+    dp_state, dp_metrics = dp_step(
+        state_r, s_images, s_masks, s_valid, jax.random.key(1)
+    )
+    assert float(dp_metrics["loss"]) == pytest.approx(mean_loss, rel=1e-4)
+
+    dp_grads = jax.tree.map(
+        lambda old, new: old - np.asarray(new), start_params, dp_state.params
+    )
+    # fp32 reassociation across the shard_map program vs the sequential
+    # per-shard sum gives ~1e-3 noise through the deep conv backward; check
+    # relative L2 agreement per leaf instead of elementwise equality.
+    for a, b in zip(jax.tree.leaves(dp_grads), jax.tree.leaves(grads_mean)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        denom = np.linalg.norm(b) + 1e-12
+        rel_l2 = np.linalg.norm(a - b) / denom
+        assert rel_l2 < 0.01, f"relative L2 gradient error {rel_l2:.4f}"
+
+
+def test_batch_stats_synced_across_replicas(setup):
+    cfg, state, images, masks, valid = setup
+    mesh = make_mesh(8)
+    dp_step = make_dp_train_step(cfg, mesh)
+    state_r = replicate_state(state, mesh)
+    images, masks, valid = shard_batch((images, masks, valid), mesh)
+    new_state, _ = dp_step(state_r, images, masks, valid, jax.random.key(1))
+    for leaf in jax.tree.leaves(new_state.batch_stats):
+        assert leaf.sharding.is_fully_replicated
+        assert np.isfinite(np.asarray(leaf)).all()
