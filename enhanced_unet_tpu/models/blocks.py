@@ -43,12 +43,16 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # a conv bias directly before BatchNorm is a dead parameter (BN's
+        # mean subtraction cancels it; its gradient is pure fp noise) — the
+        # reference keeps torch's default bias=True there (models.py:88),
+        # which is functionally identical but wastes params/HBM.
         x = nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,
             padding="SAME",
-            use_bias=self.use_bias,
+            use_bias=self.use_bias and not self.use_bn,
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
