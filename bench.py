@@ -46,6 +46,12 @@ def main():
         train=False,
     )
 
+    # Timing protocol: N forwards chained through a lax.fori_loop inside ONE
+    # jit, returning a scalar checksum fetched to the host.  On the
+    # experimental axon relay, per-dispatch timing with block_until_ready
+    # under-reports wildly (dispatch is pipelined and the block is not
+    # honored); a single chained program with a scalar device->host fetch is
+    # immune to both effects and costs one RTT total.
     if mode == "train":
         from enhanced_unet_tpu.train.trainer import create_train_state, make_train_step
 
@@ -56,33 +62,45 @@ def main():
         )
         masks = jnp.asarray(rng.integers(0, 3, (batch, size, size)), jnp.int32)
         valid = jnp.ones((batch, size, size), bool)
-        step = jax.jit(make_train_step(cfg), donate_argnums=0)
+        train_step = make_train_step(cfg)
         d_rng = jax.random.key(1)
 
-        state, m = step(state, x, masks, valid, d_rng)  # compile
-        jax.block_until_ready(m["loss"])
+        @jax.jit
+        def run_n(state, n):
+            def body(i, st):
+                st, m = train_step(st, x, masks, valid, d_rng)
+                return st
+            return jax.lax.fori_loop(0, n, body, state)
+
+        state = run_n(state, 1)  # compile
+        _ = float(jnp.sum(state.step))  # sync
         t0 = time.perf_counter()
-        for _ in range(steps):
-            state, m = step(state, x, masks, valid, d_rng)
-        jax.block_until_ready(m["loss"])
+        state = run_n(state, steps)
+        _ = float(jnp.sum(state.step))  # sync via scalar fetch
         dt = time.perf_counter() - t0
         metric = f"{model_name}_{size}_train"
     else:
-        @jax.jit
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
         def fwd(params, batch_stats, x):
             logits, _ = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )
             return logits
 
-        params, batch_stats = variables["params"], variables.get("batch_stats", {})
-        out = fwd(params, batch_stats, x)  # compile
-        jax.block_until_ready(out)
+        @jax.jit
+        def run_n(params, batch_stats, x, n):
+            def body(i, carry):
+                # data dependency chains iterations so nothing is elided
+                logits = fwd(params, batch_stats, x + carry * 0.0)
+                return jnp.mean(logits).astype(x.dtype)
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
+
+        _ = float(run_n(params, batch_stats, x, 1))  # compile + sync
         t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fwd(params, batch_stats, x)
-        jax.block_until_ready(out)
+        checksum = float(run_n(params, batch_stats, x, steps))
         dt = time.perf_counter() - t0
+        assert checksum == checksum, "NaN checksum"
         metric = f"{model_name}_{size}_infer"
 
     ips = batch * steps / dt
