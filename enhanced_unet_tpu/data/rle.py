@@ -17,7 +17,16 @@ import numpy as np
 
 
 def _mask_to_counts(mask: np.ndarray) -> np.ndarray:
-    """Column-major run lengths; first run counts zeros (possibly 0)."""
+    """Column-major run lengths; first run counts zeros (possibly 0).
+
+    Uses the native C++ run extractor when available (native/hostops.cpp);
+    the numpy diff-based path is the fallback and the test oracle.
+    """
+    from enhanced_unet_tpu import native
+
+    counts = native.rle_counts_native(np.asarray(mask))
+    if counts is not None:
+        return counts
     flat = np.asarray(mask, dtype=np.uint8).flatten(order="F")
     flat = (flat > 0).astype(np.uint8)
     n = flat.size

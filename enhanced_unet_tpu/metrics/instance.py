@@ -20,7 +20,21 @@ import numpy as np
 
 
 def _pairwise_iou(pred_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
-    """IoU matrix [n_pred, n_gt] over stacks of binary HxW masks."""
+    """IoU matrix [n_pred, n_gt] over stacks of binary HxW masks.
+
+    Routed through the packed-popcount C++ kernel when available
+    (native/hostops.cpp); numpy matmul fallback below is the oracle.
+    """
+    from enhanced_unet_tpu import native
+
+    iou = native.pairwise_iou_native(pred_masks, gt_masks)
+    if iou is not None:
+        # reference convention (metrics.py:16-17): both empty -> IoU 1.0
+        p_area = pred_masks.reshape(pred_masks.shape[0], -1).sum(axis=1)
+        g_area = gt_masks.reshape(gt_masks.shape[0], -1).sum(axis=1)
+        both_empty = (p_area[:, None] == 0) & (g_area[None, :] == 0)
+        return np.where(both_empty, 1.0, iou)
+
     p = pred_masks.reshape(pred_masks.shape[0], -1).astype(bool)
     g = gt_masks.reshape(gt_masks.shape[0], -1).astype(bool)
     inter = p.astype(np.int64) @ g.astype(np.int64).T
