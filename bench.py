@@ -11,7 +11,9 @@ dual-branch model (UNet++/efficientnet-b5 + DeepLabV3+/efficientnet-b4,
 BASELINE.md.  vs_baseline = our images/sec / that estimate.
 
 Env knobs: BENCH_BATCH (default 8), BENCH_SIZE (512), BENCH_STEPS (20),
-BENCH_MODE (infer|train), BENCH_MODEL (enhanced_unet).
+BENCH_MODE (infer|train), BENCH_MODEL (enhanced_unet),
+BENCH_FUSION_STRIDE (1 = exact reference fusion-head placement; 2 = the
+documented fast-fusion variant).
 """
 
 import json
@@ -37,7 +39,11 @@ def main():
     from enhanced_unet_tpu.config import get_preset
     from enhanced_unet_tpu.models import get_model
 
-    model = get_model(model_name, dtype=jnp.bfloat16)
+    kwargs = {}
+    fusion_stride = int(os.environ.get("BENCH_FUSION_STRIDE", "1"))
+    if model_name == "enhanced_unet" and fusion_stride != 1:
+        kwargs["fusion_stride"] = fusion_stride
+    model = get_model(model_name, dtype=jnp.bfloat16, **kwargs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)
     variables = model.init(

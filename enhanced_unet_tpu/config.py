@@ -165,16 +165,19 @@ def get_preset(
 
     Replicates the reference's scattered policy tables in one place.
     """
-    if name not in MODEL_NAMES:
+    # *_basic variants (the reference's non-smp fallback architectures)
+    # share their parent's policy tables
+    base = name[:-6] if name.endswith("_basic") else name
+    if base not in MODEL_NAMES:
         raise ValueError(f"Unknown model: {name}; expected one of {MODEL_NAMES}")
     cfg = TrainConfig(
         model=ModelConfig(name=name),
-        loss=_loss_for(name),
-        optimizer=OptimizerConfig(base_lr=_lr_for(name)),
+        loss=_loss_for(base),
+        optimizer=OptimizerConfig(base_lr=_lr_for(base)),
         data=DataConfig(data_dir=data_dir),
-        num_epochs=_epochs_for(name, num_epochs),
-        patience=10 if name == "enhanced_unet" else 8,  # train_eval.py:1097
-        enable_tta=(name == "enhanced_unet"),
+        num_epochs=_epochs_for(base, num_epochs),
+        patience=10 if base == "enhanced_unet" else 8,  # train_eval.py:1097
+        enable_tta=(base == "enhanced_unet"),
     )
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)

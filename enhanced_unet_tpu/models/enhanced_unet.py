@@ -105,10 +105,19 @@ class DeepLabV3Plus(nn.Module):
 
 
 class EnhancedUNet(nn.Module):
-    """Dual-branch fusion model (reference models.py:246-343)."""
+    """Dual-branch fusion model (reference models.py:246-343).
+
+    fusion_stride: resolution the fusion head runs at.  1 reproduces the
+    reference exactly (3x3 convs 256->128->64 at FULL input resolution —
+    57% of the model's FLOPs, models.py:287-300); 2 computes the identical
+    head on 2x-downsampled branch logits and bilinearly upsamples the
+    result, cutting total forward FLOPs ~2.3x with the same fusion
+    capability (gate + head + residual see the same 6-channel signal).
+    """
 
     num_classes: int = 3
     fusion_dropout: Tuple[float, float] = (0.2, 0.15)
+    fusion_stride: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -117,6 +126,13 @@ class EnhancedUNet(nn.Module):
         out_aux = DeepLabV3Plus(self.num_classes, dtype=self.dtype)(x, train)
 
         fused = jnp.concatenate([out_main, out_aux], axis=-1)  # [N,H,W,6]
+        full_hw = fused.shape[1:3]
+        if self.fusion_stride > 1:
+            fused = resize_bilinear(
+                fused,
+                (full_hw[0] // self.fusion_stride,
+                 full_hw[1] // self.fusion_stride),
+            )
         fc = fused.shape[-1]
 
         # attention gate (models.py:278-285)
@@ -148,6 +164,8 @@ class EnhancedUNet(nn.Module):
         residual = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                            param_dtype=jnp.float32)(gated)
         logits = head + residual
+        if self.fusion_stride > 1:
+            logits = resize_bilinear(logits, full_hw)
 
         aux = {"unetpp": out_main, "deeplab": out_aux}
         return logits, aux

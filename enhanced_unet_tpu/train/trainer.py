@@ -149,6 +149,32 @@ def make_train_step(cfg: TrainConfig, axis_name: Optional[str] = None):
     return train_step
 
 
+def param_grad_norms(grads) -> Dict[str, float]:
+    """{param_path: mean |grad|} for Visualizer.plot_gradient_flow — the
+    TPU-native stand-in for the reference's module-hook gradient inspection
+    (visualization.py:1567-1600)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+    return {
+        jax.tree_util.keystr(path): float(jnp.mean(jnp.abs(leaf)))
+        for path, leaf in flat
+    }
+
+
+def compute_grad_norms(state: TrainState, images, masks, valid,
+                       cfg: TrainConfig) -> Dict[str, float]:
+    """One-off gradient magnitude probe on a batch (diagnostics only)."""
+    def loss_fn(params):
+        (logits, aux), _ = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(0)},
+        )
+        return combined_loss_with_aux(logits, aux, masks, cfg.loss, valid)
+
+    grads = jax.grad(loss_fn)(state.params)
+    return param_grad_norms(grads)
+
+
 def make_eval_step(cfg: TrainConfig):
     """Jitted eval forward: logits + per-image confusion matrices on-device.
 
