@@ -13,5 +13,12 @@ from enhanced_unet_tpu.parallel.data_parallel import (
     replicate_state,
     shard_batch,
 )
+from enhanced_unet_tpu.parallel.tiled import tiled_inference_sharded
 
-__all__ = ["make_mesh", "make_dp_train_step", "replicate_state", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "make_dp_train_step",
+    "replicate_state",
+    "shard_batch",
+    "tiled_inference_sharded",
+]

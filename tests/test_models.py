@@ -57,6 +57,21 @@ def test_enhanced_unet_shapes():
     assert aux["deeplab"].shape == (1, 64, 64, 3)
 
 
+def test_enhanced_unet_fast_fusion_variant():
+    """fusion_stride=2 runs the identical head at half resolution and
+    upsamples back — same output shape/API."""
+    model = get_model("enhanced_unet", dtype=jnp.float32, fusion_stride=2)
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, train=False,
+    )
+    logits, aux = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 64, 64, 3)
+    assert set(aux) == {"unetpp", "deeplab"}
+    assert not np.isnan(np.asarray(logits)).any()
+
+
 def test_pool_unpool_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), dtype=jnp.float32)
