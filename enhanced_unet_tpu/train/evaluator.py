@@ -46,9 +46,11 @@ _METRIC_KEYS = (
 class Evaluator:
     """Evaluate a trained state over a dataset, reference-metric-complete."""
 
-    def __init__(self, state, model_name: str, enable_tta: Optional[bool] = None):
+    def __init__(self, state, model_name: str, enable_tta: Optional[bool] = None,
+                 verbose: bool = True):
         self.state = state
         self.model_name = model_name
+        self.verbose = verbose
         # TTA iff enhanced_unet (train_eval.py:363)
         self.enable_tta = (
             (model_name == "enhanced_unet") if enable_tta is None else enable_tta
@@ -120,6 +122,28 @@ class Evaluator:
                 pred_masks, pred_labels, pred_scores = semantic_to_instances(
                     pred_semantic
                 )
+
+                # first-3-image diagnostics (reference train_eval.py:921-937)
+                if self.verbose and image_counter <= 3:
+                    p_live = sum(1 for l in pred_labels if l == 0)
+                    p_dead = sum(1 for l in pred_labels if l == 1)
+                    g_live = sum(1 for l in gt_instance_labels if l == 0)
+                    g_dead = sum(1 for l in gt_instance_labels if l == 1)
+                    live_px = int((pred_semantic == 1).sum())
+                    dead_px = int((pred_semantic == 2).sum())
+                    print(
+                        f"[debug] image {image_counter} "
+                        f"({item.get('image_id', 'unknown')}): "
+                        f"live_px={live_px} dead_px={dead_px} "
+                        f"pred live/dead={p_live}/{p_dead} "
+                        f"gt live/dead={g_live}/{g_dead}"
+                    )
+                    if live_px > 0 and p_live == 0:
+                        print(f"  WARNING: {live_px} live pixels but no "
+                              "live instances detected")
+                    if dead_px > 0 and p_dead == 0:
+                        print(f"  WARNING: {dead_px} dead pixels but no "
+                              "dead instances detected")
 
                 for k, v in calculate_instance_metrics(
                     pred_masks, pred_labels, pred_scores,
