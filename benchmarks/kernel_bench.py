@@ -44,10 +44,10 @@ def bench_fused_conv():
     rng = np.random.default_rng(0)
     print(f"{'shape':<28} {'cin->cout':<12} {'xla(ms)':>8} {'pallas(ms)':>10} {'speedup':>8}")
     for (n, h, w), cin, cout in [
-        ((8, 128, 128, 0), 64, 64),
-        ((8, 64, 128, 0), 128, 128),
-        ((8, 32, 128, 0), 256, 256),
-        ((4, 256, 256, 0), 32, 32),
+        ((8, 128, 128), 64, 64),
+        ((8, 64, 128), 128, 128),
+        ((8, 32, 128), 256, 256),
+        ((4, 256, 256), 32, 32),
     ]:
         x = jnp.asarray(rng.normal(size=(n, h, w, cin)), jnp.bfloat16)
         wgt = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.bfloat16)
