@@ -60,16 +60,17 @@ def _kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, x_tile, sem,
     copy.start()
     copy.wait()
 
-    # im2col: 9 static halo shifts concatenated on the channel axis
-    cols = []
-    for dy in range(3):
-        for dx in range(3):
-            cols.append(x_tile[dy : dy + th, dx : dx + tw, :])
-    patches = jnp.concatenate(cols, axis=-1).reshape(th * tw, 9 * cin)
-
-    acc = jnp.dot(
-        patches, w_ref[:], preferred_element_type=jnp.float32
-    )  # [th*tw, Cout]
+    # 9 shifted-slice matmuls accumulated in fp32 (a channel-concat of the
+    # shifted slices trips Mosaic's layout lowering on real TPUs — offset
+    # mismatch on non-concat dims — so feed the MXU per-tap instead)
+    acc = None
+    for tap in range(9):
+        dy, dx = tap // 3, tap % 3
+        patch = x_tile[dy : dy + th, dx : dx + tw, :].reshape(th * tw, cin)
+        partial_ = jnp.dot(
+            patch, w_ref[tap], preferred_element_type=jnp.float32
+        )
+        acc = partial_ if acc is None else acc + partial_
     acc = acc * scale_ref[:] + shift_ref[:]
     if relu:
         acc = jnp.maximum(acc, 0.0)
@@ -99,7 +100,7 @@ def fused_conv3x3_bn_relu(
         raise ValueError(f"H, W ({h},{width}) must divide tile {tile}")
 
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    w_flat = w.reshape(9 * cin, cout).astype(x.dtype)
+    w_flat = w.reshape(9, cin, cout).astype(x.dtype)
     scale_f = scale.astype(jnp.float32).reshape(1, cout)
     shift_f = shift.astype(jnp.float32).reshape(1, cout)
 
@@ -111,7 +112,7 @@ def fused_conv3x3_bn_relu(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # halo reads via DMA
             pl.BlockSpec(
-                (9 * cin, cout), lambda b, i, j: (0, 0),
+                (9, cin, cout), lambda b, i, j: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, cout), lambda b, i, j: (0, 0),

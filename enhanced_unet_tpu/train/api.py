@@ -184,6 +184,75 @@ def train_model(
     return ckpt_path
 
 
+def _collect_predictions(evaluator, loader, max_samples: int = 20):
+    """Gather <=20 images + predictions + probs for the chart suite
+    (reference train_eval.py:1245-1319)."""
+    images, gts, preds, names, probs_all, comparison = [], [], [], [], [], []
+    from enhanced_unet_tpu.postprocess import semantic_to_instances
+
+    for batch in loader:
+        for item in batch["batch_items"][: batch["n_real"]]:
+            img = np.asarray(item["image"], np.float32)
+            pred = evaluator.predict_semantic_mask(img)
+            pm, pl, _ = semantic_to_instances(pred)
+            p_live = sum(1 for l in pl if l == 0)
+            p_dead = sum(1 for l in pl if l == 1)
+            g_live = sum(1 for l in item["instance_labels"] if l == 0)
+            g_dead = sum(1 for l in item["instance_labels"] if l == 1)
+            p_tot, g_tot = p_live + p_dead, g_live + g_dead
+            p_via = p_live / p_tot * 100 if p_tot else 0.0
+            g_via = g_live / g_tot * 100 if g_tot else 0.0
+            comparison.append(
+                {
+                    "filename": item["image_id"],
+                    "gt_live_count": g_live, "gt_dead_count": g_dead,
+                    "gt_total_count": g_tot, "gt_viability": g_via,
+                    "pred_live_count": p_live, "pred_dead_count": p_dead,
+                    "pred_total_count": p_tot, "pred_viability": p_via,
+                    "live_error": p_live - g_live,
+                    "dead_error": p_dead - g_dead,
+                    "viability_error": p_via - g_via,
+                }
+            )
+            images.append(img)
+            gts.append(np.asarray(item["semantic_mask"]))
+            preds.append(pred)
+            probs_all.append(evaluator.predict_probs(img))
+            names.append(item["image_id"])
+            if len(images) >= max_samples:
+                return images, gts, preds, names, probs_all, comparison
+    return images, gts, preds, names, probs_all, comparison
+
+
+def _emit_prediction_charts(visualizer, model_name, images, gts, preds, names,
+                            probs_all, comparison, log=print):
+    """The ~19-figure suite evaluate emits (reference train_eval.py:1327-1525),
+    each isolated so one figure's crash doesn't kill the rest."""
+    charts = [
+        lambda: visualizer.plot_sample_grid(images, gts, preds, model_name, names),
+        lambda: visualizer.plot_confusion_matrix(gts, preds, model_name),
+        lambda: visualizer.visualize_predictions(images, gts, preds, names, model_name),
+        lambda: visualizer.plot_cell_statistics(gts, preds, model_name),
+        lambda: visualizer.plot_per_image_metrics(gts, preds, model_name),
+        lambda: visualizer.plot_sample_predictions_grid(images, gts, preds, names, model_name),
+        lambda: visualizer.plot_error_analysis(gts, preds, model_name),
+        lambda: visualizer.plot_class_distribution(gts, preds, model_name),
+        lambda: visualizer.plot_feature_importance(gts, preds, images, model_name),
+        lambda: visualizer.plot_roc_curves(probs_all, gts, model_name),
+        lambda: visualizer.plot_pr_curves(probs_all, gts, model_name),
+        lambda: visualizer.plot_boundary_accuracy(gts, preds, model_name),
+        lambda: visualizer.plot_size_based_performance(gts, preds, model_name),
+        lambda: visualizer.plot_calibration_curve(probs_all, gts, model_name),
+        lambda: visualizer.create_paper_figures(images, gts, preds, model_name, names),
+        lambda: visualizer.plot_cell_count_comparison(comparison, model_name),
+    ]
+    for fn in charts:
+        try:
+            fn()
+        except Exception as e:  # reference isolates every figure
+            log(f"  warning: figure generation failed: {e}")
+
+
 def evaluate_model(
     model_name: str,
     data_dir: str = "data",
@@ -192,10 +261,11 @@ def evaluate_model(
     max_size: int = 640,
     cfg: Optional[TrainConfig] = None,
     dtype=jnp.bfloat16,
+    generate_visualizations: bool = True,
     log=print,
 ) -> Dict:
     """Evaluate one model on the val split (reference train_eval.py:1165-1543),
-    writing results/<model>/<model>_results.json."""
+    writing results/<model>/<model>_results.json + the figure suite."""
     cfg = cfg or get_preset(model_name, data_dir=data_dir)
     save_dir = os.path.join(results_dir, model_name)
     os.makedirs(save_dir, exist_ok=True)
@@ -215,6 +285,42 @@ def evaluate_model(
 
     evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
     results = evaluator.evaluate(val_loader)
+
+    if generate_visualizations:
+        from enhanced_unet_tpu.viz import Visualizer
+
+        visualizer = Visualizer(save_dir=save_dir)
+        history = meta.get("history", {})
+        if history.get("train_loss"):
+            n = len(history["train_loss"])
+            live = history.get("val_live_iou", [])
+            dead = history.get("val_dead_iou", [])
+            dice = history.get("val_dice", [])
+            plot_history = {
+                "train_loss": history["train_loss"],
+                "val_loss": history.get("val_loss", history["train_loss"]),
+                "val_iou": [
+                    [0.0, live[i] if i < len(live) else 0.0,
+                     dead[i] if i < len(dead) else 0.0]
+                    for i in range(n)
+                ],
+                "val_dice": [
+                    ([0.0] + list(dice[i])) if i < len(dice) else [0.0, 0.0, 0.0]
+                    for i in range(n)
+                ],
+            }
+            try:
+                visualizer.plot_training_curves(plot_history, model_name)
+                visualizer.plot_class_wise_metrics(plot_history, model_name)
+                if history.get("learning_rate"):
+                    visualizer.plot_learning_rate_schedule(history, model_name)
+            except Exception as e:
+                log(f"  warning: history charts failed: {e}")
+
+        log("Collecting predictions for visualization...")
+        collected = _collect_predictions(evaluator, val_loader)
+        if collected[0]:
+            _emit_prediction_charts(visualizer, model_name, *collected, log=log)
 
     results_file = os.path.join(save_dir, f"{model_name}_results.json")
     with open(results_file, "w", encoding="utf-8") as f:
@@ -295,35 +401,9 @@ def visualize_model(
         state, _ = load_checkpoint(ckpt, state)
         evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
 
-        images, gts, preds, names, probs_all = [], [], [], [], []
-        for batch in loader:
-            for item in batch["batch_items"][: batch["n_real"]]:
-                img = np.asarray(item["image"], np.float32)
-                images.append(img)
-                gts.append(np.asarray(item["semantic_mask"]))
-                preds.append(evaluator.predict_semantic_mask(img))
-                probs_all.append(evaluator.predict_probs(img))
-                names.append(item["image_id"])
-                if len(images) >= max_samples:
-                    break
-            if len(images) >= max_samples:
-                break
-
-        if images:
-            visualizer.plot_sample_grid(images, gts, preds, model_name, names)
-            visualizer.plot_confusion_matrix(gts, preds, model_name)
-            visualizer.visualize_predictions(images, gts, preds, names, model_name)
-            visualizer.plot_cell_statistics(gts, preds, model_name)
-            visualizer.plot_per_image_metrics(gts, preds, model_name)
-            visualizer.plot_error_analysis(gts, preds, model_name)
-            visualizer.plot_class_distribution(gts, preds, model_name)
-            visualizer.plot_feature_importance(gts, preds, images, model_name)
-            visualizer.plot_roc_curves(probs_all, gts, model_name)
-            visualizer.plot_pr_curves(probs_all, gts, model_name)
-            visualizer.plot_calibration_curve(probs_all, gts, model_name)
-            visualizer.plot_boundary_accuracy(gts, preds, model_name)
-            visualizer.plot_size_based_performance(gts, preds, model_name)
-            visualizer.create_paper_figures(images, gts, preds, model_name, names)
+        collected = _collect_predictions(evaluator, loader, max_samples)
+        if collected[0]:
+            _emit_prediction_charts(visualizer, model_name, *collected, log=log)
 
     # 4. cross-model comparison from aggregated results (train_eval.py:1794-1799)
     Visualizer(save_dir=results_dir).plot_comprehensive_comparison_from_csv()
