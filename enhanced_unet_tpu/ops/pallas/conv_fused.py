@@ -1,13 +1,20 @@
 """Fused 3x3 conv + BatchNorm(inference) + ReLU Pallas kernel.
 
 The zoo's hottest block (ConvBNAct, models/blocks.py) at inference time:
-BN folds into a per-channel scale/shift epilogue on the conv.  The kernel
-tiles the NHWC output spatially, DMAs each input tile WITH ITS 1-PIXEL HALO
-from HBM into VMEM (overlapping reads are not expressible with plain
-BlockSpecs, so the input stays in ANY/HBM and the kernel issues explicit
-async copies), builds the 9-tap im2col in registers via static slices, and
-runs one [tile_pixels, 9*Cin] x [9*Cin, Cout] contraction on the MXU with
-fp32 accumulation, applying scale/shift + ReLU in the epilogue.
+BN folds into a per-channel scale/shift epilogue on the conv.
+
+Mosaic-friendly formulation (three earlier variants failed TPU lowering:
+a channel-concat of shifted slices -> layout offset mismatch; a halo DMA
+-> non-tile-aligned slice; in-kernel pltpu.roll -> bf16 rotate
+unimplemented):
+- all 9 tap shifts are materialized as XLA slices of the padded input, so
+  every BlockSpec is non-overlapping and tile-aligned and the kernel body
+  is pure MXU work;
+- 9 per-tap [th*W, Cin] x [Cin, Cout] matmuls accumulate in fp32 with the
+  scale/shift + ReLU epilogue fused.
+The 9x input-read amplification makes this kernel compute-bound-only; XLA's
+native conv (which shares halos in VMEM) is expected to win at small Cin —
+benchmarks/kernel_bench.py records the verdict per shape.
 
 Weights layout: [3, 3, Cin, Cout] (HWIO, flax conv convention).
 """
@@ -45,91 +52,78 @@ def fused_conv3x3_bn_relu_reference(
     return y.astype(x.dtype)
 
 
-def _kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, x_tile, sem,
-            *, th: int, tw: int, cin: int, relu: bool):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-
-    # DMA the (th+2, tw+2) halo tile for this output tile from HBM
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 2), pl.ds(j * tw, tw + 2), :],
-        x_tile,
-        sem,
-    )
-    copy.start()
-    copy.wait()
-
-    # 9 shifted-slice matmuls accumulated in fp32 (a channel-concat of the
-    # shifted slices trips Mosaic's layout lowering on real TPUs — offset
-    # mismatch on non-concat dims — so feed the MXU per-tap instead)
+def _kernel(*refs, th: int, w_out: int, cin: int, relu: bool):
+    tap_refs = refs[:9]
+    w_ref, scale_ref, shift_ref, out_ref = refs[9:13]
     acc = None
     for tap in range(9):
-        dy, dx = tap // 3, tap % 3
-        patch = x_tile[dy : dy + th, dx : dx + tw, :].reshape(th * tw, cin)
-        partial_ = jnp.dot(
+        patch = tap_refs[tap][0].reshape(th * w_out, cin)
+        part = jnp.dot(
             patch, w_ref[tap], preferred_element_type=jnp.float32
         )
-        acc = partial_ if acc is None else acc + partial_
+        acc = part if acc is None else acc + part
     acc = acc * scale_ref[:] + shift_ref[:]
     if relu:
         acc = jnp.maximum(acc, 0.0)
-    out_ref[:] = acc.reshape(1, th, tw, -1).astype(out_ref.dtype)
+    out_ref[:] = acc.reshape(1, th, w_out, -1).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("relu", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("relu", "tile_h", "interpret"))
 def fused_conv3x3_bn_relu(
     x: jnp.ndarray,
     w: jnp.ndarray,
     scale: jnp.ndarray,
     shift: jnp.ndarray,
     relu: bool = True,
-    tile: Tuple[int, int] = (8, 128),
+    tile_h: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas fused ConvBNAct inference block.
 
     x: [N, H, W, Cin]; w: [3, 3, Cin, Cout]; scale/shift: [Cout].
-    H % tile[0] == 0 and W % tile[1] == 0 (the /32-snapped pipeline shapes
-    satisfy this for the default (8, 128) tile).
+    H % tile_h == 0 and W % 128 == 0 (the /32-snapped pipeline shapes at
+    the zoo's feature resolutions satisfy this).
     """
     n, h, width, cin = x.shape
     cout = w.shape[-1]
-    th, tw = tile
-    if h % th or width % tw:
-        raise ValueError(f"H, W ({h},{width}) must divide tile {tile}")
+    if h % tile_h or width % 128:
+        raise ValueError(f"H % {tile_h} and W % 128 must be 0, got {h}x{width}")
 
+    # 9 tap-shifted views of the SAME-padded input (XLA slices)
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        x_pad[:, dy : dy + h, dx : dx + width, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+
     w_flat = w.reshape(9, cin, cout).astype(x.dtype)
     scale_f = scale.astype(jnp.float32).reshape(1, cout)
     shift_f = shift.astype(jnp.float32).reshape(1, cout)
 
-    grid = (n, h // th, width // tw)
+    grid = (n, h // tile_h)
+    tap_spec = pl.BlockSpec(
+        (1, tile_h, width, cin), lambda b, i: (b, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
-        partial(_kernel, th=th, tw=tw, cin=cin, relu=relu),
+        partial(_kernel, th=tile_h, w_out=width, cin=cin, relu=relu),
         out_shape=jax.ShapeDtypeStruct((n, h, width, cout), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # halo reads via DMA
-            pl.BlockSpec(
-                (9, cin, cout), lambda b, i, j: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, cout), lambda b, i, j: (0, 0),
+        in_specs=[tap_spec] * 9 + [
+            pl.BlockSpec((9, cin, cout), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda b, i, j: (0, 0),
+            pl.BlockSpec((1, cout), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, tw, cout), lambda b, i, j: (b, i, j, 0),
+            (1, tile_h, width, cout), lambda b, i: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, tw + 2, cin), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         interpret=interpret,
-    )(x_pad, w_flat, scale_f, shift_f)
+    )(*taps, w_flat, scale_f, shift_f)
 
 
 def fold_bn_params(
