@@ -24,9 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Estimated A100 PyTorch fp32 single-image inference throughput of the
-# reference EnhancedUNet at 512x512 (batch 8, no TTA).  See BASELINE.md.
+# Estimated A100 PyTorch fp32 throughput of the reference EnhancedUNet at
+# 512x512 (batch 8, no TTA).  See BASELINE.md for the rationale.
 A100_REFERENCE_IPS = 55.0
+# Training estimate: the reference trains at batch 2 with a per-sample
+# Python loss loop of batch-1 kernels (train_eval.py:262-335) plus aux deep
+# supervision; 12 img/s is a generous A100 fp32 estimate.
+A100_REFERENCE_TRAIN_IPS = 12.0
 
 
 def main():
@@ -110,11 +114,12 @@ def main():
         metric = f"{model_name}_{size}_infer"
 
     ips = batch * steps / dt
+    baseline = A100_REFERENCE_TRAIN_IPS if mode == "train" else A100_REFERENCE_IPS
     print(json.dumps({
         "metric": f"{metric}_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips / A100_REFERENCE_IPS, 3),
+        "vs_baseline": round(ips / baseline, 3),
     }))
 
 
