@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from enhanced_unet_tpu.ops.resize import resize_bilinear, upsample2x
+from enhanced_unet_tpu.ops.resize import (
+    resize_bilinear,
+    upsample2x,
+    upsample2x_nearest,
+)
 
 Dtype = Any
 
@@ -152,16 +156,22 @@ class SCSEBlock(nn.Module):
 
 
 class UpConcatBlock(nn.Module):
-    """Bilinear 2x upsample + skip concat + DoubleConv — the UNet decoder
-    step (reference models.py:233-236), optionally scse-gated."""
+    """2x upsample + skip concat + DoubleConv — the UNet decoder step.
+
+    Upsampling is nearest-neighbour by default: that is what smp's
+    Unet/UnetPlusPlus decoder blocks use (the reference's production path);
+    the reference's hand-rolled BasicUNet uses bilinear (models.py:215), so
+    that model passes bilinear=True.
+    """
 
     features: int
     use_scse: bool = False
+    bilinear: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
-        x = upsample2x(x)
+        x = upsample2x(x) if self.bilinear else upsample2x_nearest(x)
         if skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         x = DoubleConv(self.features, dtype=self.dtype)(x, train)

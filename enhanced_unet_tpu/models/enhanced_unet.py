@@ -23,7 +23,10 @@ from flax import linen as nn
 
 from enhanced_unet_tpu.models.blocks import ConvBNAct, SCSEBlock, ASPP, DoubleConv
 from enhanced_unet_tpu.models.encoders import EfficientNetEncoder
-from enhanced_unet_tpu.ops.resize import resize_bilinear, upsample2x
+from enhanced_unet_tpu.ops.resize import (
+    resize_bilinear,
+    upsample2x_nearest,
+)
 
 
 class NestedBlock(nn.Module):
@@ -35,7 +38,7 @@ class NestedBlock(nn.Module):
 
     @nn.compact
     def __call__(self, same_level, below, train: bool = False):
-        up = upsample2x(below)
+        up = upsample2x_nearest(below)  # smp UNet++ decoder uses nearest
         parts = [f.astype(up.dtype) for f in same_level] + [up]
         y = jnp.concatenate(parts, axis=-1)
         y = DoubleConv(self.features, dtype=self.dtype)(y, train)
@@ -73,7 +76,7 @@ class UNetPlusPlus(nn.Module):
                 )(same, grid[(i + 1, j - 1)], train)
         y = grid[(0, 4)]  # stride 2
         # final up block to full resolution (no skip at stride 1)
-        y = upsample2x(y)
+        y = upsample2x_nearest(y)
         y = DoubleConv(self.head_channels, dtype=self.dtype)(y, train)
         logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
                          dtype=self.dtype, param_dtype=jnp.float32)(y)

@@ -35,9 +35,10 @@ class BasicUNet(nn.Module):
         e3 = DoubleConv(256, dtype=self.dtype)(max_pool_2x2(e2), train)
         e4 = DoubleConv(512, dtype=self.dtype)(max_pool_2x2(e3), train)
 
-        d4 = UpConcatBlock(256, dtype=self.dtype)(e4, e3, train)
-        d3 = UpConcatBlock(128, dtype=self.dtype)(d4, e2, train)
-        d2 = UpConcatBlock(64, dtype=self.dtype)(d3, e1, train)
+        # the reference's hand-rolled fallback uses bilinear (models.py:215)
+        d4 = UpConcatBlock(256, bilinear=True, dtype=self.dtype)(e4, e3, train)
+        d3 = UpConcatBlock(128, bilinear=True, dtype=self.dtype)(d4, e2, train)
+        d2 = UpConcatBlock(64, bilinear=True, dtype=self.dtype)(d3, e1, train)
         # reference applies the 1x1 head to upsample(d2) (models.py:236);
         # with e1 at full resolution, upsample(d2) doubles past input size —
         # models.py pools only 3 times, so d2 is already full-res and the

@@ -39,6 +39,14 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2))
 
 
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """F.interpolate(scale_factor=2, mode='nearest') — what smp's UNet /
+    UNet++ decoder blocks actually use; cheaper than bilinear (pure repeat,
+    no interpolation arithmetic)."""
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)
+
+
 def pad_to_multiple(
     x: jnp.ndarray, multiple: int = 32, mode: str = "reflect"
 ) -> Tuple[jnp.ndarray, Tuple[int, int]]:
