@@ -8,6 +8,21 @@ from enhanced_unet_tpu.ops.losses import (
     combined_loss,
     combined_loss_with_aux,
 )
+from enhanced_unet_tpu.ops.resize import (
+    pad_to_multiple,
+    resize_bilinear,
+    upsample2x,
+    upsample2x_nearest,
+)
+from enhanced_unet_tpu.ops.preprocess import (
+    cell_specific_preprocess,
+    clahe_u8,
+    eval_preprocess,
+)
+from enhanced_unet_tpu.ops.augment import augment_batch, augment_train
+from enhanced_unet_tpu.ops.thresholding import convert_probs_to_mask
+from enhanced_unet_tpu.ops.tta import run_model_single, tta_probs
+from enhanced_unet_tpu.ops.tiling import tiled_inference, tiled_semantic_mask
 
 __all__ = [
     "focal_loss",
@@ -15,4 +30,18 @@ __all__ = [
     "tversky_loss",
     "combined_loss",
     "combined_loss_with_aux",
+    "pad_to_multiple",
+    "resize_bilinear",
+    "upsample2x",
+    "upsample2x_nearest",
+    "cell_specific_preprocess",
+    "clahe_u8",
+    "eval_preprocess",
+    "augment_batch",
+    "augment_train",
+    "convert_probs_to_mask",
+    "run_model_single",
+    "tta_probs",
+    "tiled_inference",
+    "tiled_semantic_mask",
 ]
