@@ -74,6 +74,7 @@ def train_model(
     data_dir: str = "data",
     num_epochs: int = 50,
     skip_training: bool = False,
+    resume: bool = False,
     checkpoint_dir: str = "checkpoints",
     max_size: int = 640,
     cfg: Optional[TrainConfig] = None,
@@ -83,10 +84,15 @@ def train_model(
 ) -> str:
     """Train one model with the reference's protocol; returns checkpoint path.
 
-    Reference: train_eval.py:1036-1162.
+    Reference: train_eval.py:1036-1162.  `resume=True` continues an
+    interrupted run from the last best checkpoint (epoch counter, optimizer
+    state, history and best-mIoU gate all restored) — the framework's
+    failure-recovery mechanism (the reference has none beyond
+    skip_training, SURVEY §5).
     """
     cfg = cfg or get_preset(model_name, num_epochs=num_epochs, data_dir=data_dir)
     ckpt_path = os.path.join(checkpoint_dir, model_name, "best_model")
+    last_path = os.path.join(checkpoint_dir, model_name, "last_model")
     os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
 
     if skip_training and checkpoint_exists(ckpt_path):
@@ -122,8 +128,29 @@ def train_model(
 
     best_miou, best_loss = 0.0, float("inf")
     patience_counter = 0
+    start_epoch = 0
 
-    for epoch in range(cfg.num_epochs):
+    if resume:
+        # prefer the always-current last_model; fall back to best_model
+        resume_from = (
+            last_path if checkpoint_exists(last_path)
+            else ckpt_path if checkpoint_exists(ckpt_path)
+            else None
+        )
+        if resume_from:
+            state, meta = load_checkpoint(resume_from, state)
+            start_epoch = int(meta.get("epoch", 0))
+            best_miou = float(meta.get("best_miou", 0.0))
+            best_loss = float(meta.get("best_loss", float("inf")))
+            saved_history = meta.get("history", {})
+            for k in history:
+                if k in saved_history:
+                    history[k] = list(saved_history[k])
+            log(f"Resuming from {resume_from} at epoch {start_epoch} "
+                f"(best mIoU {best_miou:.4f})")
+
+    epoch = start_epoch - 1  # stays if the budget is already exhausted
+    for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.perf_counter()
         epoch_loss, n_batches = 0.0, 0
         for batch in train_loader:
@@ -177,9 +204,14 @@ def train_model(
             log(f"Early stopping at epoch {epoch+1}")
             break
 
+    # always persist the final state for resume (best_model keeps the
+    # reference's best-mIoU-gated semantics, train_eval.py:1138-1151)
+    final_epoch = min(epoch + 1, cfg.num_epochs) if cfg.num_epochs else 0
+    save_checkpoint(last_path, state, final_epoch, best_miou, best_loss,
+                    history)
     if not checkpoint_exists(ckpt_path):
         # never validated better than 0.0 — still persist the final state
-        save_checkpoint(ckpt_path, state, cfg.num_epochs, best_miou,
+        save_checkpoint(ckpt_path, state, final_epoch, best_miou,
                         best_loss, history)
     return ckpt_path
 

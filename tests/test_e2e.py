@@ -65,6 +65,41 @@ def test_train_eval_roundtrip(data_dir, tmp_path):
     assert os.path.exists(out)
 
 
+def test_resume_continues_from_checkpoint(data_dir, tmp_path):
+    """Interrupted-run recovery: resume restores epoch/best/history."""
+    import json
+
+    ckpt_dir = str(tmp_path / "ckr")
+    cfg = get_preset("unet", num_epochs=2, data_dir=data_dir)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, num_epochs=2, eval_every_epochs=1)
+    kwargs = dict(
+        data_dir=data_dir, checkpoint_dir=ckpt_dir, max_size=96,
+        dtype=jnp.float32, log=lambda *a: None,
+    )
+    p1 = train_model("unet_basic", num_epochs=2, cfg=cfg2, **kwargs)
+    last = os.path.join(os.path.dirname(p1), "last_model")
+    with open(os.path.join(last, "meta.json")) as f:
+        meta1 = json.load(f)
+    assert meta1["epoch"] == 2
+    n_epochs_1 = len(meta1["history"]["train_loss"])
+    assert n_epochs_1 == 2
+
+    # resume with a larger budget: must continue, not restart
+    cfg4 = dataclasses.replace(cfg, num_epochs=4, eval_every_epochs=1)
+    train_model("unet_basic", num_epochs=4, cfg=cfg4, resume=True, **kwargs)
+    with open(os.path.join(last, "meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["epoch"] == 4
+    n_epochs_2 = len(meta2["history"]["train_loss"])
+    assert n_epochs_2 == 4
+    # earlier history preserved as a prefix
+    assert meta2["history"]["train_loss"][:n_epochs_1] == pytest.approx(
+        meta1["history"]["train_loss"]
+    )
+
+
 def test_skip_training_reuses_checkpoint(data_dir, tmp_path):
     ckpt_dir = str(tmp_path / "ck2")
     cfg = get_preset("unet", num_epochs=1, data_dir=data_dir)
