@@ -55,6 +55,13 @@ class BatchLoader:
     pad_shape fixes the static XLA shape; images smaller than it are
     zero-padded and tracked in `valid`.  Train mode applies the
     GT-conditioned preprocess + stochastic augmentation on-device.
+
+    NOTE: on-device preprocessing sees the padded image, so for datasets
+    with mixed sizes the CLAHE tile histograms include the zero padding
+    (the reference preprocesses each image at native size).  With the
+    standard /32-snapped uniform max_size pipeline no padding exists and
+    the two agree; mixed-size datasets trade this shift for a single
+    compiled program.
     """
 
     def __init__(

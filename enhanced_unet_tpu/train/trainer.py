@@ -190,10 +190,8 @@ def make_eval_step(cfg: TrainConfig):
             train=False,
         )
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        # padded pixels are forced to a sentinel class outside 0..2 on BOTH
-        # sides? No: force pred=mask=0 there so they land on the diagonal of
-        # class 0 for both, keeping bg IoU approximately right and cell
-        # classes exact.
+        # padded pixels: force pred == mask == 0 so they land on the
+        # background diagonal — cell-class IoU (the mIoU gate) stays exact
         pred = jnp.where(valid, pred, 0)
         masks = jnp.where(valid, masks, 0)
         cms = batched_confusion_matrix(pred, masks)
