@@ -49,6 +49,8 @@ def main():
     fusion_stride = int(os.environ.get("BENCH_FUSION_STRIDE", "1"))
     if model_name == "enhanced_unet" and fusion_stride != 1:
         kwargs["fusion_stride"] = fusion_stride
+    if model_name == "enhanced_unet" and os.environ.get("BENCH_REMAT") == "1":
+        kwargs["remat"] = True
     model = get_model(model_name, dtype=jnp.bfloat16, **kwargs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)

@@ -15,8 +15,10 @@ from enhanced_unet_tpu.data.rle import (
     mask_to_bbox,
 )
 from enhanced_unet_tpu.data.dataset import CellDataset, collate_fn
+from enhanced_unet_tpu.data.loader import BatchLoader
 
 __all__ = [
+    "BatchLoader",
     "encode_rle",
     "decode_rle",
     "rle_to_string",

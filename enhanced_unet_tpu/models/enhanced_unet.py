@@ -59,12 +59,17 @@ class UNetPlusPlus(nn.Module):
     encoder_name: str = "efficientnet-b5"
     row_channels: Sequence[int] = (32, 64, 128, 256)
     head_channels: int = 16
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = EfficientNetEncoder(variant=self.encoder_name,
-                                    dtype=self.dtype)(x, train)
+        enc_cls = (
+            nn.remat(EfficientNetEncoder, static_argnums=(2,))
+            if self.remat else EfficientNetEncoder
+        )
+        feats = enc_cls(variant=self.encoder_name,
+                        dtype=self.dtype)(x, train)
         # rows 0..4 = strides 2..32
         grid = {(i, 0): feats[i + 1] for i in range(5)}
         for j in range(1, 5):
@@ -89,12 +94,17 @@ class DeepLabV3Plus(nn.Module):
     num_classes: int = 3
     encoder_name: str = "efficientnet-b4"
     aspp_channels: int = 256
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = EfficientNetEncoder(variant=self.encoder_name,
-                                    dtype=self.dtype)(x, train)
+        enc_cls = (
+            nn.remat(EfficientNetEncoder, static_argnums=(2,))
+            if self.remat else EfficientNetEncoder
+        )
+        feats = enc_cls(variant=self.encoder_name,
+                        dtype=self.dtype)(x, train)
         y = ASPP(self.aspp_channels, dtype=self.dtype)(feats[-1], train)
         low = feats[2]  # stride 4
         low = ConvBNAct(48, (1, 1), dtype=self.dtype)(low, train)
@@ -121,12 +131,18 @@ class EnhancedUNet(nn.Module):
     num_classes: int = 3
     fusion_dropout: Tuple[float, float] = (0.2, 0.15)
     fusion_stride: int = 1
+    # jax.checkpoint the encoders: trades recompute for activation memory —
+    # useful for large-batch/large-resolution training (512x512 training is
+    # HBM-bound on v5e)
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
-        out_main = UNetPlusPlus(self.num_classes, dtype=self.dtype)(x, train)
-        out_aux = DeepLabV3Plus(self.num_classes, dtype=self.dtype)(x, train)
+        out_main = UNetPlusPlus(self.num_classes, remat=self.remat,
+                                dtype=self.dtype)(x, train)
+        out_aux = DeepLabV3Plus(self.num_classes, remat=self.remat,
+                                dtype=self.dtype)(x, train)
 
         fused = jnp.concatenate([out_main, out_aux], axis=-1)  # [N,H,W,6]
         full_hw = fused.shape[1:3]
