@@ -20,9 +20,16 @@ import json
 import os
 import time
 
+# persistent compilation cache: repeat bench runs skip the XLA compile on
+# standard TPU runtimes (ineffective under the axon remote-compile relay,
+# which bypasses the local executable cache — measured; kept for real pods)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Estimated A100 PyTorch fp32 throughput of the reference EnhancedUNet at
 # 512x512 (batch 8, no TTA).  See BASELINE.md for the rationale.
