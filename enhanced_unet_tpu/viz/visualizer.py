@@ -673,13 +673,47 @@ class Visualizer:
         with open(path, newline="", encoding="utf-8-sig") as f:
             return list(csv.DictReader(f))
 
+    # CSV column -> metric key (the CLI's Chinese schema, main.py:256-276)
+    _CSV_KEYS = {
+        "语义分割 mIoU": "sem_mean_iou",
+        "语义分割 mDice": "sem_mean_dice",
+        "语义分割-背景 IoU": "sem_background_iou",
+        "语义分割-背景 Dice": "sem_background_dice",
+        "语义分割-活细胞 IoU": "sem_live_iou",
+        "语义分割-死细胞 IoU": "sem_dead_iou",
+        "语义分割-活细胞 Dice": "sem_live_dice",
+        "语义分割-死细胞 Dice": "sem_dead_dice",
+        "实例分割-活细胞 IoU": "live_iou",
+        "实例分割-死细胞 IoU": "dead_iou",
+        "活细胞检测准确率 (Precision)": "live_precision",
+        "死细胞检测准确率 (Precision)": "dead_precision",
+        "活细胞召回率 (Recall)": "live_recall",
+        "死细胞召回率 (Recall)": "dead_recall",
+        "细胞活力准确率": "viability_accuracy",
+        "bbox mAP": "bbox_mAP",
+        "segm mAP": "segm_mAP",
+    }
+
     def plot_comprehensive_comparison_from_csv(self):
-        """Rebuild the comparison suite from the CLI's results JSON/CSV
-        (visualization.py:1042-1093)."""
+        """Rebuild the comparison suite from the CLI's saved artifacts
+        (visualization.py:1042-1093): prefers evaluation_results.json,
+        falls back to the Chinese-header CSV."""
         json_path = os.path.join(self.save_dir, "evaluation_results.json")
         if os.path.exists(json_path):
             with open(json_path, encoding="utf-8") as f:
                 results = json.load(f)
+            self.plot_comprehensive_comparison(results)
+            return True
+        rows = self.load_evaluation_results()
+        if rows:
+            results = {}
+            for row in rows:
+                name = row.get("模型") or row.get("model") or "?"
+                results[name] = {
+                    key: float(row[col])
+                    for col, key in self._CSV_KEYS.items()
+                    if row.get(col) not in (None, "")
+                }
             self.plot_comprehensive_comparison(results)
             return True
         return False

@@ -134,3 +134,24 @@ def test_comparison_suite(tmp_path):
     with open(os.path.join(tmp_path, "evaluation_results.json"), "w") as f:
         json.dump(results, f)
     assert v.plot_comprehensive_comparison_from_csv() is True
+
+
+def test_comparison_from_chinese_csv(tmp_path):
+    """CSV fallback path reads the CLI's Chinese-header schema."""
+    from enhanced_unet_tpu.cli import write_results_csv
+
+    results = {
+        "unet": {"sem_mean_iou": 0.52, "sem_mean_dice": 0.6,
+                 "viability_accuracy": 0.9, "bbox_mAP": 0.3, "segm_mAP": 0.2,
+                 "sem_live_iou": 0.5, "sem_dead_iou": 0.4,
+                 "live_precision": 0.7, "dead_precision": 0.6},
+    }
+    write_results_csv(results, str(tmp_path / "evaluation_results.csv"))
+    v = Visualizer(save_dir=str(tmp_path))
+    assert v.plot_comprehensive_comparison_from_csv() is True
+    assert os.path.exists(tmp_path / "comparison_overall_metrics.png")
+
+
+def test_comparison_no_artifacts_returns_false(tmp_path):
+    v = Visualizer(save_dir=str(tmp_path))
+    assert v.plot_comprehensive_comparison_from_csv() is False
