@@ -10,6 +10,8 @@ edge features / augmentation run batched on the accelerator
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
@@ -56,12 +58,14 @@ class BatchLoader:
     zero-padded and tracked in `valid`.  Train mode applies the
     GT-conditioned preprocess + stochastic augmentation on-device.
 
-    NOTE: on-device preprocessing sees the padded image, so for datasets
-    with mixed sizes the CLAHE tile histograms include the zero padding
-    (the reference preprocesses each image at native size).  With the
-    standard /32-snapped uniform max_size pipeline no padding exists and
-    the two agree; mixed-size datasets trade this shift for a single
-    compiled program.
+    NOTE: train-time on-device preprocessing sees the padded image, so for
+    datasets with mixed sizes the CLAHE tile histograms include the zero
+    padding (the reference preprocesses each image at native size).  With
+    the standard /32-snapped uniform max_size pipeline no padding exists
+    and the two agree; mixed-size datasets trade this shift for a single
+    compiled program.  Batch-1 EVAL loaders (the validation gate) enhance
+    at native size before padding, so the gate matches the reference's
+    per-image preprocess exactly.
     """
 
     def __init__(
@@ -74,6 +78,7 @@ class BatchLoader:
         seed: int = 0,
         drop_remainder: bool = False,
         preprocess: bool = True,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -83,6 +88,10 @@ class BatchLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.preprocess = preprocess
+        # background-thread prefetch depth: host decode of batch k+1 overlaps
+        # the device step on batch k (JAX dispatch is async, so the produced
+        # batches already have their device pipeline enqueued).  0 disables.
+        self.prefetch = prefetch
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -92,6 +101,55 @@ class BatchLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._make_batches()
+            return
+
+        # double-buffered producer thread: decodes/rasterizes batch k+1 and
+        # enqueues its device pipeline while the consumer trains on batch k
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        sentinel = object()
+        errors: List[BaseException] = []
+
+        def producer():
+            try:
+                for b in self._make_batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # surfaced on the consumer side
+                errors.append(e)
+            finally:
+                # keep trying until delivered or the consumer signals stop —
+                # a dropped sentinel would deadlock the consumer's q.get()
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is sentinel:
+                    break
+                yield b
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
+        if errors:
+            raise errors[0]
+
+    def _make_batches(self) -> Iterator[Dict]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -132,6 +190,19 @@ class BatchLoader:
                     jnp.asarray(dead),
                     jnp.asarray(masks),
                 )
+            elif self.preprocess and self.batch_size == 1:
+                # batch-1 eval: enhance at NATIVE size (the reference's
+                # per-image preprocess, train_eval.py:380-392) so CLAHE tile
+                # histograms never see the zero padding; one compile per
+                # distinct image shape (val sets share one snapped shape)
+                h, w = items[0]["semantic_mask"].shape
+                native = _eval_device_pipeline(
+                    jnp.asarray(items[0]["image_u8"], jnp.float32)[None]
+                )
+                imgs_np = np.zeros((bs, ph, pw, 3), np.float32)
+                imgs_np[0, :h, :w] = np.asarray(native[0])
+                imgs_d = jnp.asarray(imgs_np)
+                masks_d = jnp.asarray(masks)
             elif self.preprocess:
                 imgs_d = _eval_device_pipeline(jnp.asarray(images))
                 masks_d = jnp.asarray(masks)

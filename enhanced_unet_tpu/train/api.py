@@ -52,11 +52,13 @@ def _build_state(model_name: str, cfg: TrainConfig, steps_per_epoch: int,
     )
 
 
-def quick_val_miou(state, cfg: TrainConfig, loader) -> Dict[str, float]:
-    """Cheap on-device validation (argmax mIoU) used by the every-3-epochs
-    gate — the reference runs its full Evaluator here (train_eval.py:1119),
-    which we also expose; this fast path keeps the gate on-device."""
-    eval_step = jax.jit(make_eval_step(cfg))
+def quick_val_miou(state, cfg: TrainConfig, loader, eval_step=None) -> Dict[str, float]:
+    """Cheap on-device validation (argmax mIoU) — the fast alternative to the
+    reference's full-Evaluator gate (train_eval.py:1119).  Pass a pre-jitted
+    `eval_step` when calling repeatedly (train_model does) so the program
+    compiles once per run instead of once per call."""
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(cfg))
     cms = []
     for batch in loader:
         _, cm = eval_step(
@@ -78,8 +80,9 @@ def train_model(
     checkpoint_dir: str = "checkpoints",
     max_size: int = 640,
     cfg: Optional[TrainConfig] = None,
-    use_full_evaluator_gate: bool = False,
+    use_full_evaluator_gate: bool = True,
     dtype=jnp.bfloat16,
+    num_devices: Optional[int] = None,
     log=print,
 ) -> str:
     """Train one model with the reference's protocol; returns checkpoint path.
@@ -89,8 +92,20 @@ def train_model(
     state, history and best-mIoU gate all restored) — the framework's
     failure-recovery mechanism (the reference has none beyond
     skip_training, SURVEY §5).
+
+    The every-3-epochs validation gate defaults to the reference's exact
+    semantics: the FULL Evaluator (native-size CLAHE+sharpen, TTA,
+    threshold cascade, host morphology — train_eval.py:1119-1135) selects
+    the best checkpoint.  `use_full_evaluator_gate=False` swaps in a much
+    faster on-device argmax-mIoU gate (quick_val_miou) for iteration speed.
+
+    Multi-chip: `num_devices` (or cfg.num_devices) > 1 trains data-parallel
+    over a 1-D Mesh('data') — global batches of batch_size*num_devices,
+    shard_map pmean gradient reduction over ICI, replicated state,
+    checkpoints written by process 0 only (parallel/data_parallel.py).
     """
     cfg = cfg or get_preset(model_name, num_epochs=num_epochs, data_dir=data_dir)
+    n_dev = int(num_devices if num_devices is not None else cfg.num_devices)
     ckpt_path = os.path.join(checkpoint_dir, model_name, "best_model")
     last_path = os.path.join(checkpoint_dir, model_name, "last_model")
     os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
@@ -102,14 +117,37 @@ def train_model(
     train_ds = CellDataset(data_dir, split="train", max_size=max_size)
     val_ds = CellDataset(data_dir, split="val", max_size=max_size)
     pad_shape = _pad_shape(max_size)
+    # global batch = per-replica batch x mesh size (cfg.batch_size is
+    # per-replica, matching the reference's single-device batch semantics)
     train_loader = BatchLoader(
-        train_ds, cfg.batch_size, pad_shape, train=True, seed=cfg.seed,
+        train_ds, cfg.batch_size * n_dev, pad_shape, train=True, seed=cfg.seed,
     )
-    val_loader = BatchLoader(val_ds, 1, pad_shape, train=False)
+    # the full Evaluator preprocesses each image itself at native size
+    # (evaluator.py predict_semantic_mask), so its loader skips the padded
+    # device preprocess; the quick gate uses the on-device enhance instead
+    val_loader = BatchLoader(
+        val_ds, 1, pad_shape, train=False,
+        preprocess=not use_full_evaluator_gate,
+    )
 
     steps_per_epoch = len(train_loader)
     state = _build_state(model_name, cfg, steps_per_epoch, pad_shape, dtype)
-    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    mesh = None
+    shard_train_batch = None
+    if n_dev > 1:
+        from enhanced_unet_tpu.parallel import (
+            make_dp_train_step,
+            make_mesh,
+            replicate_state,
+            shard_batch,
+        )
+
+        mesh = make_mesh(n_dev)
+        train_step = make_dp_train_step(cfg, mesh)  # jitted + donated inside
+        shard_train_batch = lambda leaves: shard_batch(leaves, mesh)  # noqa: E731
+    else:
+        train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = None if use_full_evaluator_gate else jax.jit(make_eval_step(cfg))
     dropout_rng = jax.random.key(cfg.seed + 1)
 
     history = {
@@ -149,19 +187,37 @@ def train_model(
             log(f"Resuming from {resume_from} at epoch {start_epoch} "
                 f"(best mIoU {best_miou:.4f})")
 
+    if mesh is not None:
+        state = replicate_state(state, mesh)  # after any resume restore
+
+    def persist(path, *args):
+        # multi-host: only the coordinator writes (state is replicated)
+        if jax.process_index() == 0:
+            save_checkpoint(path, *args)
+
+    grad_probe = None  # lazily-jitted gradient-magnitude probe (grad flow)
+    gate_evaluator = None  # one Evaluator reused across gate epochs
+
     epoch = start_epoch - 1  # stays if the budget is already exhausted
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.perf_counter()
-        epoch_loss, n_batches = 0.0, 0
+        # loss accumulates ON DEVICE: each step's scalar is added lazily so
+        # the host never blocks mid-epoch (a per-step float() would serialize
+        # dispatch against the accelerator); one fetch per epoch below
+        epoch_loss, n_batches = jnp.zeros(()), 0
+        last_batch = None
         for batch in train_loader:
-            state, m = train_step(
-                state, batch["images"], batch["semantic_masks"],
-                batch["valid_mask"], dropout_rng,
+            imgs, msks, vld = (
+                batch["images"], batch["semantic_masks"], batch["valid_mask"]
             )
-            epoch_loss += float(m["loss"])
+            if shard_train_batch is not None:
+                imgs, msks, vld = shard_train_batch((imgs, msks, vld))
+            state, m = train_step(state, imgs, msks, vld, dropout_rng)
+            epoch_loss = epoch_loss + m["loss"]
             n_batches += 1
+            last_batch = batch
+        loss = float(epoch_loss) / max(n_batches, 1)  # the one host sync
         dt = time.perf_counter() - t0
-        loss = epoch_loss / max(n_batches, 1)
         history["train_loss"].append(loss)
         history["learning_rate"].append(float(lr_table[epoch]))
         history["epoch_time_sec"].append(dt)
@@ -174,10 +230,47 @@ def train_model(
         # every-3-epochs validation gate (train_eval.py:1119-1135)
         if (epoch + 1) % cfg.eval_every_epochs == 0:
             if use_full_evaluator_gate:
-                ev = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
-                val = ev.evaluate(val_loader)
+                if gate_evaluator is None:
+                    gate_evaluator = Evaluator(
+                        state, model_name, enable_tta=cfg.enable_tta,
+                        verbose=False,
+                    )
+                gate_evaluator.update_state(state)
+                val = gate_evaluator.evaluate(val_loader)
             else:
-                val = quick_val_miou(state, cfg, val_loader)
+                val = quick_val_miou(state, cfg, val_loader, eval_step)
+
+            # gradient-flow probe on the last train batch (feeds
+            # Visualizer.plot_gradient_flow — reference visualization.py:1567)
+            if last_batch is not None:
+                if grad_probe is None:
+                    from enhanced_unet_tpu.ops.losses import combined_loss_with_aux
+
+                    def _grad_fn(st, images, masks, valid):
+                        def loss_fn(params):
+                            (logits, aux), _ = st.apply_fn(
+                                {"params": params,
+                                 "batch_stats": st.batch_stats},
+                                images, train=True, mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.key(0)},
+                            )
+                            return combined_loss_with_aux(
+                                logits, aux, masks, cfg.loss, valid)
+
+                        grads = jax.grad(loss_fn)(st.params)
+                        return jax.tree.map(
+                            lambda g: jnp.mean(jnp.abs(g)), grads)
+
+                    grad_probe = jax.jit(_grad_fn)
+                norms = grad_probe(
+                    state, last_batch["images"],
+                    last_batch["semantic_masks"], last_batch["valid_mask"],
+                )
+                flat, _ = jax.tree_util.tree_flatten_with_path(
+                    jax.device_get(norms))
+                history["grad_norms"] = {
+                    jax.tree_util.keystr(p): float(v) for p, v in flat
+                }
             val_iou = val.get("sem_mean_iou", 0.0)
             history["val_miou"].append(val_iou)
             history["val_live_iou"].append(val.get("sem_live_iou", 0.0))
@@ -193,7 +286,7 @@ def train_model(
             if val_iou > best_miou:
                 best_miou, best_loss = val_iou, loss
                 patience_counter = 0
-                save_checkpoint(ckpt_path, state, epoch + 1, best_miou,
+                persist(ckpt_path, state, epoch + 1, best_miou,
                                 best_loss, history)
                 log(f"  ✓ saved best (mIoU {best_miou:.4f})")
             else:
@@ -207,11 +300,11 @@ def train_model(
     # always persist the final state for resume (best_model keeps the
     # reference's best-mIoU-gated semantics, train_eval.py:1138-1151)
     final_epoch = min(epoch + 1, cfg.num_epochs) if cfg.num_epochs else 0
-    save_checkpoint(last_path, state, final_epoch, best_miou, best_loss,
+    persist(last_path, state, final_epoch, best_miou, best_loss,
                     history)
     if not checkpoint_exists(ckpt_path):
         # never validated better than 0.0 — still persist the final state
-        save_checkpoint(ckpt_path, state, final_epoch, best_miou,
+        persist(ckpt_path, state, final_epoch, best_miou,
                         best_loss, history)
     return ckpt_path
 
@@ -294,10 +387,17 @@ def evaluate_model(
     cfg: Optional[TrainConfig] = None,
     dtype=jnp.bfloat16,
     generate_visualizations: bool = True,
+    tiled: bool = False,
+    tile: int = 512,
+    overlap: int = 64,
     log=print,
 ) -> Dict:
     """Evaluate one model on the val split (reference train_eval.py:1165-1543),
-    writing results/<model>/<model>_results.json + the figure suite."""
+    writing results/<model>/<model>_results.json + the figure suite.
+
+    tiled=True evaluates with full-resolution sliding-window inference
+    (tile/overlap knobs) instead of whole-image forwards — the TPU-native
+    alternative to the reference's downscale-to-640 (dataset.py:143-158)."""
     cfg = cfg or get_preset(model_name, data_dir=data_dir)
     save_dir = os.path.join(results_dir, model_name)
     os.makedirs(save_dir, exist_ok=True)
@@ -312,10 +412,20 @@ def evaluate_model(
     if checkpoint_exists(ckpt):
         state, meta = load_checkpoint(ckpt, state)
         log(f"Loaded checkpoint {ckpt} (best mIoU {meta.get('best_miou', 0.0):.4f})")
+    elif os.path.isfile(ckpt) and ckpt.endswith((".pth", ".pt")):
+        # a reference torch checkpoint (train_eval.py:1188-1202): import the
+        # encoder weights + training meta (convert/torch_import.py)
+        from enhanced_unet_tpu.convert import load_torch_checkpoint
+
+        state, report = load_torch_checkpoint(ckpt, state, model_name)
+        meta = report["meta"]
+        log(f"Imported torch checkpoint {ckpt}: encoders {report['imported']}"
+            f" (skipped non-transferable: {report['skipped']})")
     else:
         log("WARNING: no checkpoint found; evaluating random init")
 
-    evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta)
+    evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta,
+                          tiled=tiled, tile=tile, overlap=overlap)
     results = evaluator.evaluate(val_loader)
 
     if generate_visualizations:
@@ -346,6 +456,9 @@ def evaluate_model(
                 visualizer.plot_class_wise_metrics(plot_history, model_name)
                 if history.get("learning_rate"):
                     visualizer.plot_learning_rate_schedule(history, model_name)
+                if history.get("grad_norms"):
+                    visualizer.plot_gradient_flow(
+                        history["grad_norms"], model_name)
             except Exception as e:
                 log(f"  warning: history charts failed: {e}")
 
@@ -416,6 +529,8 @@ def visualize_model(
             visualizer.save_training_history_csv(history, model_name)
         if history.get("learning_rate"):
             visualizer.plot_learning_rate_schedule(history, model_name)
+        if history.get("grad_norms"):
+            visualizer.plot_gradient_flow(history["grad_norms"], model_name)
     else:
         log(f"No checkpoint found at {ckpt}")
 

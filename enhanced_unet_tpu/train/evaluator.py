@@ -44,51 +44,180 @@ _METRIC_KEYS = (
 
 
 class Evaluator:
-    """Evaluate a trained state over a dataset, reference-metric-complete."""
+    """Evaluate a trained state over a dataset, reference-metric-complete.
+
+    tiled=True switches inference to full-resolution sliding-window tiling
+    with Hann overlap-blend stitching (the framework's long-context
+    subsystem; the reference instead DOWNSCALES large micrographs to
+    max_size=640, dataset.py:143-158).  Pass a Mesh to shard the tile batch
+    over multiple chips (parallel/tiled.py pattern).
+    """
 
     def __init__(self, state, model_name: str, enable_tta: Optional[bool] = None,
-                 verbose: bool = True):
+                 verbose: bool = True, tiled: bool = False, tile: int = 512,
+                 overlap: int = 64, tile_batch: int = 8, mesh=None):
         self.state = state
         self.model_name = model_name
         self.verbose = verbose
+        self.tiled = tiled
+        self.tile = tile
+        self.overlap = overlap
+        self.tile_batch = tile_batch
+        self.mesh = mesh
         # TTA iff enhanced_unet (train_eval.py:363)
         self.enable_tta = (
             (model_name == "enhanced_unet") if enable_tta is None else enable_tta
         )
 
-        def apply_fn(x):
-            logits, _ = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x,
-                train=False,
-            )
-            return logits
+        # the jitted pipelines take (params, batch_stats) as ARGUMENTS so one
+        # Evaluator instance is reusable across training gate epochs with
+        # updated state — no per-gate recompilation
+        apply_raw = state.apply_fn
 
-        self._apply = apply_fn
-        self._predict_jit = {}
+        def pipeline(params, batch_stats, img):
+            def apply_fn(x):
+                logits, _ = apply_raw(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False,
+                )
+                return logits
+
+            enhanced = eval_preprocess(img * 255.0) / 255.0
+            probs = tta_probs(apply_fn, enhanced, self.enable_tta)
+            return convert_probs_to_mask(probs)
+
+        def probs_pipeline(params, batch_stats, img):
+            def apply_fn(x):
+                logits, _ = apply_raw(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False,
+                )
+                return logits
+
+            return run_model_single(apply_fn, img)
+
+        def enhance(img):
+            # native-size CLAHE+sharpen (train_eval.py:380-392)
+            return eval_preprocess(img * 255.0) / 255.0
+
+        def tile_fwd(params, batch_stats, tiles):
+            # one compiled program for every tile batch: [B,t,t,3] -> probs
+            def apply_fn(x):
+                logits, _ = apply_raw(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False,
+                )
+                return logits
+
+            if self.enable_tta:
+                return jax.vmap(lambda t: tta_probs(apply_fn, t, True))(tiles)
+            return jax.nn.softmax(
+                apply_fn(tiles).astype(jnp.float32), axis=-1)
+
+        self._pipeline = jax.jit(pipeline)
+        self._probs_pipeline = jax.jit(probs_pipeline)
+        self._enhance = jax.jit(enhance)
+        self._tile_fwd = jax.jit(tile_fwd)
+
+    def update_state(self, state) -> None:
+        """Swap in fresh parameters (same model/shape): keeps all compiled
+        programs valid — used by the every-3-epochs training gate."""
+        self.state = state
 
     def predict_semantic_mask(self, image01: np.ndarray) -> np.ndarray:
         """image01: [H,W,3] float in [0,1] -> int mask [H,W].
 
         Mirrors train_eval.py:570-652: every model family gets the
         CLAHE+sharpen enhance; enhanced_unet additionally runs TTA.
+        tiled=True runs the sliding-window path instead (full resolution,
+        one compiled tile program regardless of image size).
         """
-        shape = image01.shape
-        if shape not in self._predict_jit:
+        if self.tiled:
+            probs = self.predict_probs_tiled(image01)
+            return np.asarray(convert_probs_to_mask(jnp.asarray(probs)))
+        return np.asarray(
+            self._pipeline(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(image01, jnp.float32),
+            )
+        )
 
-            def pipeline(img):
-                enhanced = eval_preprocess(img * 255.0) / 255.0
-                probs = tta_probs(self._apply, enhanced, self.enable_tta)
-                return convert_probs_to_mask(probs)
+    def predict_probs_tiled(self, image01: np.ndarray) -> np.ndarray:
+        """Full-resolution probabilities via sliding-window tiles with Hann
+        overlap-blend stitching (ops/tiling.py semantics, but with the tile
+        forward compiled ONCE — fixed tile/batch shape — so arbitrary image
+        sizes share a single program; stitching is host-side numpy, trivial
+        next to the forwards).  With a mesh, the tile batch is sharded over
+        Mesh('data') and scales across chips."""
+        from enhanced_unet_tpu.ops.tiling import _tile_positions, hann_window_2d
 
-            self._predict_jit[shape] = jax.jit(pipeline)
-        return np.asarray(self._predict_jit[shape](jnp.asarray(image01, jnp.float32)))
+        tile, overlap = self.tile, self.overlap
+        stride = tile - overlap
+        if stride <= 0:
+            raise ValueError("overlap must be smaller than tile")
+
+        img = np.asarray(
+            self._enhance(jnp.asarray(image01, jnp.float32)), np.float32
+        )
+        h, w = img.shape[:2]
+        pad_h, pad_w = max(tile - h, 0), max(tile - w, 0)
+        if pad_h or pad_w:
+            img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+        ph, pw = img.shape[:2]
+
+        positions = [
+            (y, x)
+            for y in _tile_positions(ph, tile, stride)
+            for x in _tile_positions(pw, tile, stride)
+        ]
+        tiles = np.stack([img[y: y + tile, x: x + tile] for y, x in positions])
+        n = len(positions)
+
+        bs = self.tile_batch
+        if self.mesh is not None:
+            # round the batch up to the mesh size and shard the tile axis
+            bs = max(bs, self.mesh.devices.size)
+            bs -= bs % self.mesh.devices.size
+
+        n_pad = (-n) % bs
+        if n_pad:
+            tiles = np.concatenate(
+                [tiles, np.zeros((n_pad, tile, tile, 3), np.float32)]
+            )
+
+        probs_chunks = []
+        for s in range(0, len(tiles), bs):
+            chunk = jnp.asarray(tiles[s: s + bs])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                chunk = jax.device_put(
+                    chunk, NamedSharding(self.mesh, P("data")))
+            probs_chunks.append(
+                np.asarray(
+                    self._tile_fwd(
+                        self.state.params, self.state.batch_stats, chunk)
+                )
+            )
+        probs = np.concatenate(probs_chunks)[:n]
+
+        window = hann_window_2d(tile)[..., None]
+        num_classes = probs.shape[-1]
+        acc = np.zeros((ph, pw, num_classes), np.float32)
+        wacc = np.zeros((ph, pw, 1), np.float32)
+        for i, (y, x) in enumerate(positions):
+            acc[y: y + tile, x: x + tile] += probs[i] * window
+            wacc[y: y + tile, x: x + tile] += window
+        return (acc / np.maximum(wacc, 1e-8))[:h, :w]
 
     def predict_probs(self, image01: np.ndarray) -> np.ndarray:
         """Raw softmax probabilities (no enhance/TTA) for ROC/PR plots
         (train_eval.py:1291-1306)."""
         return np.asarray(
-            run_model_single(self._apply, jnp.asarray(image01, jnp.float32))
+            self._probs_pipeline(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(image01, jnp.float32),
+            )
         )
 
     def evaluate(self, loader) -> Dict:
