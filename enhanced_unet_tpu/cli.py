@@ -83,7 +83,29 @@ def main(argv=None) -> int:
         "--dtype", type=str, default="bfloat16",
         choices=["bfloat16", "float32"],
     )
+    parser.add_argument(
+        "--num-devices", type=int, default=1,
+        help="data-parallel chips in the Mesh('data') axis (training)",
+    )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: call jax.distributed.initialize() (TPU pod slices "
+             "auto-discover the coordinator from the environment)",
+    )
+    parser.add_argument(
+        "--tiled", action="store_true",
+        help="full-resolution sliding-window tiled inference during eval "
+             "(the reference downscales large images instead, "
+             "dataset.py:143-158)",
+    )
+    parser.add_argument("--tile", type=int, default=512)
+    parser.add_argument("--overlap", type=int, default=64)
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
 
     import jax.numpy as jnp
 
@@ -126,6 +148,7 @@ def main(argv=None) -> int:
                         checkpoint_dir=args.checkpoint_dir,
                         max_size=args.max_size,
                         dtype=dtype,
+                        num_devices=args.num_devices,
                     )
                 if args.mode in ("eval", "train_eval"):
                     results = evaluate_model(
@@ -135,6 +158,9 @@ def main(argv=None) -> int:
                         results_dir=args.results_dir,
                         max_size=args.max_size,
                         dtype=dtype,
+                        tiled=args.tiled,
+                        tile=args.tile,
+                        overlap=args.overlap,
                     )
                 else:
                     results = dict(ZERO_RESULTS)

@@ -108,6 +108,11 @@ class TrainConfig:
     early_stop_min_epoch: int = 25  # train_eval.py:1157
     enable_tta: bool = False  # train_eval.py:363 — enhanced_unet only
     seed: int = 0
+    # Data parallelism: chips in the Mesh('data') axis.  batch_size above is
+    # PER REPLICA (the loader builds global batches of batch_size *
+    # num_devices); gradients/BN stats are pmean-reduced over ICI.  1 =
+    # single-chip (the reference's only mode).
+    num_devices: int = 1
 
     @property
     def warmup_epochs(self) -> int:

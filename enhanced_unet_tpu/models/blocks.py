@@ -43,10 +43,18 @@ class ConvBNAct(nn.Module):
     act: Optional[Callable] = nn.relu
     use_bias: bool = True
     use_bn: bool = True
+    # "SAME" (TF/XLA asymmetric) or "torch" (symmetric k//2 — what
+    # torchvision convs do; differs from SAME only for stride > 1).  The
+    # ResNet encoders use "torch" so imported torchvision/smp weights
+    # reproduce the reference bit-for-bit (convert/torch_import.py).
+    padding: Any = "SAME"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        padding = self.padding
+        if padding == "torch":
+            padding = tuple((k // 2, k // 2) for k in self.kernel_size)
         # a conv bias directly before BatchNorm is a dead parameter (BN's
         # mean subtraction cancels it; its gradient is pure fp noise) — the
         # reference keeps torch's default bias=True there (models.py:88),
@@ -55,7 +63,7 @@ class ConvBNAct(nn.Module):
             self.features,
             self.kernel_size,
             strides=self.strides,
-            padding="SAME",
+            padding=padding,
             use_bias=self.use_bias and not self.use_bn,
             dtype=self.dtype,
             param_dtype=jnp.float32,

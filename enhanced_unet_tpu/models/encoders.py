@@ -38,9 +38,9 @@ class BasicResBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = ConvBNAct(self.features, (3, 3), self.strides, use_bias=False,
-                      dtype=self.dtype)(x, train)
+                      padding="torch", dtype=self.dtype)(x, train)
         y = ConvBNAct(self.features, (3, 3), act=None, use_bias=False,
-                      dtype=self.dtype)(y, train)
+                      padding="torch", dtype=self.dtype)(y, train)
         if residual.shape != y.shape:
             residual = ConvBNAct(self.features, (1, 1), self.strides, act=None,
                                  use_bias=False, dtype=self.dtype)(x, train)
@@ -57,7 +57,7 @@ class BottleneckResBlock(nn.Module):
         residual = x
         y = ConvBNAct(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x, train)
         y = ConvBNAct(self.features, (3, 3), self.strides, use_bias=False,
-                      dtype=self.dtype)(y, train)
+                      padding="torch", dtype=self.dtype)(y, train)
         y = ConvBNAct(self.features * 4, (1, 1), act=None, use_bias=False,
                       dtype=self.dtype)(y, train)
         if residual.shape != y.shape:
@@ -86,7 +86,8 @@ class ResNetEncoder(nn.Module):
         block_cls, layers = _RESNET_SPECS[self.variant]
         feats = [x]
         # stem: 7x7/2 conv + BN + ReLU (stride-2 feature), then 3x3/2 maxpool
-        y = ConvBNAct(64, (7, 7), (2, 2), use_bias=False, dtype=self.dtype)(x, train)
+        y = ConvBNAct(64, (7, 7), (2, 2), use_bias=False, padding="torch",
+                      dtype=self.dtype)(x, train)
         feats.append(y)
         if self.depth < 2:
             return feats

@@ -34,6 +34,7 @@ class NestedBlock(nn.Module):
     -> DoubleConv -> scSE."""
 
     features: int
+    use_scse: bool = True  # ablation knob for profiling (benchmarks/)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -42,7 +43,9 @@ class NestedBlock(nn.Module):
         parts = [f.astype(up.dtype) for f in same_level] + [up]
         y = jnp.concatenate(parts, axis=-1)
         y = DoubleConv(self.features, dtype=self.dtype)(y, train)
-        return SCSEBlock(dtype=self.dtype)(y)
+        if self.use_scse:
+            y = SCSEBlock(dtype=self.dtype)(y)
+        return y
 
 
 class UNetPlusPlus(nn.Module):
@@ -59,6 +62,7 @@ class UNetPlusPlus(nn.Module):
     encoder_name: str = "efficientnet-b5"
     row_channels: Sequence[int] = (32, 64, 128, 256)
     head_channels: int = 16
+    use_scse: bool = True  # ablation knob for profiling (benchmarks/)
     remat: bool = False
     dtype: Any = jnp.bfloat16
 
@@ -77,6 +81,7 @@ class UNetPlusPlus(nn.Module):
                 same = [grid[(i, k)] for k in range(j)]
                 grid[(i, j)] = NestedBlock(
                     self.row_channels[min(i, len(self.row_channels) - 1)],
+                    use_scse=self.use_scse,
                     dtype=self.dtype,
                 )(same, grid[(i + 1, j - 1)], train)
         y = grid[(0, 4)]  # stride 2
