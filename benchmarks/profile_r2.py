@@ -220,5 +220,68 @@ def main():
             print(json.dumps({"config": n, "error": str(e)[:300]}), flush=True)
 
 
+
+
+class _HeadOnly(nn.Module):
+    """UNet++ final full-res block alone: up 256^2->512^2 + DoubleConv(16)
+    + 3x3 logits conv (the un-benched tail of the branch)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from enhanced_unet_tpu.models.blocks import DoubleConv
+        from enhanced_unet_tpu.ops.resize import upsample2x_nearest
+
+        y = upsample2x_nearest(x)
+        y = DoubleConv(16, dtype=jnp.bfloat16)(y, train)
+        logits = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.bfloat16,
+                         param_dtype=jnp.float32)(y)
+        return logits.astype(jnp.float32)
+
+
+class _HeadOnlyS2D(nn.Module):
+    """Same math in packed space: tile(32->128ch)@256^2, packed convs,
+    depth-to-space at the end."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from enhanced_unet_tpu.ops import s2d as s2dops
+
+        xp = s2dops.tile_as_packed_upsample(x.astype(jnp.bfloat16))
+        w1 = self.param("w1", nn.initializers.lecun_normal(),
+                        (3, 3, 32, 16), jnp.float32)
+        w2 = self.param("w2", nn.initializers.lecun_normal(),
+                        (3, 3, 16, 16), jnp.float32)
+        w3 = self.param("w3", nn.initializers.lecun_normal(),
+                        (3, 3, 16, 3), jnp.float32)
+        y = s2dops.conv3x3_s2d(xp, s2dops.s2d_kernel(w1).astype(jnp.bfloat16))
+        y = nn.relu(y)
+        y = s2dops.conv3x3_s2d(y, s2dops.s2d_kernel(w2).astype(jnp.bfloat16))
+        y = nn.relu(y)
+        y = s2dops.conv3x3_s2d(y, s2dops.s2d_kernel(w3).astype(jnp.bfloat16))
+        return s2dops.depth_to_space(y).astype(jnp.float32)
+
+
+@cfg("headblock_b16")
+def _(): time_forward("unetpp head block @512^2", _HeadOnly(), (16, 256, 256, 32))
+
+@cfg("headblock_s2d_b16")
+def _(): time_forward("unetpp head block s2d-packed", _HeadOnlyS2D(), (16, 256, 256, 32))
+
+@cfg("unetpp_packed_b16")
+def _(): time_forward("unetpp branch b16 PACKED row0+head", UNetPlusPlus(packed_decoder=True), (16, 512, 512, 3))
+
+@cfg("unetpp_plain_b16")
+def _(): time_forward("unetpp branch b16 plain decoder", UNetPlusPlus(packed_decoder=False), (16, 512, 512, 3))
+
+@cfg("full_b16_packed")
+def _(): time_forward("enhanced_unet b16 PACKED decoder", EnhancedUNet(), (16, 512, 512, 3))
+
+@cfg("unetpp_nohead_b16")
+def _():
+    # ablation knob on the model: logits at stride 2 + bilinear x2 instead
+    # of the full-res DoubleConv tail
+    time_forward("unetpp NO full-res head", UNetPlusPlus(full_res_head=False),
+                 (16, 512, 512, 3))
+
 if __name__ == "__main__":
     main()

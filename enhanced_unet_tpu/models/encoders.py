@@ -207,6 +207,8 @@ class EfficientNetEncoder(nn.Module):
 
     variant: str = "efficientnet-b5"
     drop_connect_rate: float = 0.2
+    # profiling ablation (benchmarks/): stop after this many stages (7=all)
+    max_stages: int = 7
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -230,6 +232,8 @@ class EfficientNetEncoder(nn.Module):
         # 1, 2, 3, 5); capture the feature map just before each.
         stride2_stages = {1, 2, 3, 5}
         for stage_idx, (e, c, r, s, k) in enumerate(_EFFNET_BASE):
+            if stage_idx >= self.max_stages:
+                break
             out_c = _round_filters(c, width_mult)
             repeats = _round_repeats(r, depth_mult)
             for b in range(repeats):

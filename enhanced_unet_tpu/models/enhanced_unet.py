@@ -63,11 +63,31 @@ class UNetPlusPlus(nn.Module):
     row_channels: Sequence[int] = (32, 64, 128, 256)
     head_channels: int = 16
     use_scse: bool = True  # ablation knob for profiling (benchmarks/)
+    # ablation knob (benchmarks/profile_r2.py): False replaces the full-res
+    # DoubleConv tail with a stride-2 logits conv + bilinear x2 (NOT parity)
+    full_res_head: bool = True
+    # compute row 0 (stride 2) and the full-res head in space-to-depth
+    # packed layout — EXACTLY the same math and the same param tree, but
+    # without the 4-8x lane-padding waste of 16/32-channel tensors at
+    # 256-512px (ops/s2d.py; tests/test_s2d.py pins equivalence)
+    packed_decoder: bool = True
     remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from enhanced_unet_tpu.models.packed_blocks import (
+            PackedConv3x3,
+            PackedDoubleConv,
+            PackedNestedBlock,
+        )
+        from enhanced_unet_tpu.ops.s2d import (
+            depth_to_space,
+            space_to_depth,
+            tile_as_packed_upsample,
+        )
+
+        packed = self.packed_decoder and self.full_res_head
         enc_cls = (
             nn.remat(EfficientNetEncoder, static_argnums=(2,))
             if self.remat else EfficientNetEncoder
@@ -76,16 +96,49 @@ class UNetPlusPlus(nn.Module):
                         dtype=self.dtype)(x, train)
         # rows 0..4 = strides 2..32
         grid = {(i, 0): feats[i + 1] for i in range(5)}
+        c_row0_in = feats[1].shape[-1]
+        if packed:
+            grid[(0, 0)] = space_to_depth(grid[(0, 0)])
+        block_idx = 0
         for j in range(1, 5):
             for i in range(0, 5 - j):
+                feat_c = self.row_channels[min(i, len(self.row_channels) - 1)]
+                name = f"NestedBlock_{block_idx}"
                 same = [grid[(i, k)] for k in range(j)]
-                grid[(i, j)] = NestedBlock(
-                    self.row_channels[min(i, len(self.row_channels) - 1)],
-                    use_scse=self.use_scse,
-                    dtype=self.dtype,
-                )(same, grid[(i + 1, j - 1)], train)
-        y = grid[(0, 4)]  # stride 2
+                below = grid[(i + 1, j - 1)]
+                if packed and i == 0:
+                    c_first = c_row0_in
+                    c_below = below.shape[-1]
+                    in_features = ([c_first]
+                                   + [self.row_channels[0]] * (j - 1)
+                                   + [c_below])
+                    grid[(i, j)] = PackedNestedBlock(
+                        feat_c, in_features, use_scse=self.use_scse,
+                        dtype=self.dtype, name=name,
+                    )(same, below, train)
+                else:
+                    grid[(i, j)] = NestedBlock(
+                        feat_c, use_scse=self.use_scse,
+                        dtype=self.dtype, name=name,
+                    )(same, below, train)
+                block_idx += 1
+        y = grid[(0, 4)]  # stride 2 (packed: [N,H/4,W/4,4*row0_c])
+        if not self.full_res_head:
+            logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                             dtype=self.dtype, param_dtype=jnp.float32)(y)
+            return resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
         # final up block to full resolution (no skip at stride 1)
+        if packed:
+            # nearest-up of the logical row-0 output, re-packed on the
+            # full-res grid = channel tile of the unpacked tensor
+            yup = tile_as_packed_upsample(depth_to_space(y))
+            y = PackedDoubleConv(
+                self.head_channels, (self.row_channels[0],),
+                dtype=self.dtype, name="DoubleConv_0")(yup, train)
+            logits_p = PackedConv3x3(
+                self.num_classes, self.head_channels, use_bias=True,
+                dtype=self.dtype, name="Conv_0")(y, (self.head_channels,))
+            return depth_to_space(logits_p).astype(jnp.float32)
         y = upsample2x_nearest(y)
         y = DoubleConv(self.head_channels, dtype=self.dtype)(y, train)
         logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",

@@ -1,0 +1,235 @@
+"""Space-to-depth (packed) twins of the decoder blocks.
+
+Each module here computes EXACTLY the same function as its plain twin in
+`models/blocks.py`, but on tensors in the natural s2d packing
+([N,H/2,W/2,4C] — see ops/s2d.py), and declares parameters under the SAME
+names and logical shapes as the plain twin, so the two are interchangeable
+on one checkpoint/param tree: `UNetPlusPlus(packed_decoder=True/False)`
+load the same weights (tests/test_s2d.py asserts tree equality and forward
+equivalence).
+
+Why this exists: the UNet++ decoder's 16-32-channel tensors at 256-512px
+lane-pad up to 8x on TPU; packing 2x2 spatial blocks into channels removes
+the padding on every pass and fills the MXU's 128 output lanes
+(benchmarks/decoder_bench.py).  Reference equivalent: none — the reference
+runs these convs through cuDNN NCHW (models.py:217-225); this is the
+TPU-native layout redesign of the same math.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from enhanced_unet_tpu.ops.s2d import (
+    conv3x3_s2d,
+    packed_1x1_spatial_kernel,
+    s2d_kernel,
+    s2d_kernel_multi,
+    tile_as_packed_upsample,
+)
+
+Dtype = Any
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over packed [N,h,w,4C] equal to nn.BatchNorm over the
+    logical [N,2h,2w,C]: per-logical-channel statistics are the mean over
+    the four sub-position blocks (exact — same set of elements).
+
+    Param/stat tree matches flax nn.BatchNorm: params {scale, bias},
+    batch_stats {mean, var}, each of logical shape [C].
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # stats over (N, h, w) per packed channel, then over the four
+            # sub-position replicas per logical channel (exact: the union
+            # is all logical positions)
+            xf = x.astype(jnp.float32)
+            m4 = jnp.mean(xf, axis=(0, 1, 2))            # [4C]
+            v4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            mean = m4.reshape(4, c).mean(axis=0)
+            var = v4.reshape(4, c).mean(axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        # tile [C] -> [4C] to match the packed channel layout
+        inv4 = jnp.tile(inv, 4).astype(self.dtype)
+        b4 = jnp.tile(bias - mean * inv, 4).astype(self.dtype)
+        return x.astype(self.dtype) * inv4 + b4
+
+
+class PackedConvBNAct(nn.Module):
+    """Packed twin of ConvBNAct (3x3, stride 1, SAME, BN, act) for concat
+    inputs: takes a LIST of packed tensors (the concat parts, in order) and
+    the conv parameter covers their combined logical channels.
+
+    Only the decoder configuration is supported (kernel 3x3, stride 1,
+    use_bn=True, no bias) — exactly what NestedBlock/DoubleConv use.
+    """
+
+    features: int
+    in_features: Sequence[int]  # logical channels of each concat part
+    act: Optional[Any] = nn.relu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts, train: bool = False):
+        if not isinstance(parts, (list, tuple)):
+            parts = [parts]
+        cin = sum(self.in_features)
+        # same name/shape as nn.Conv inside plain ConvBNAct ("Conv_0")
+        kernel = PackedConv3x3(self.features, cin, name="Conv_0",
+                               dtype=self.dtype)
+        y = kernel(parts, self.in_features)
+        y = PackedBatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype,
+                            name="BatchNorm_0")(y)
+        if self.act is not None:
+            y = self.act(y)
+        return y
+
+
+class PackedConv3x3(nn.Module):
+    """Bare packed 3x3 SAME conv, param-compatible with nn.Conv
+    (param "kernel" of logical shape [3,3,Cin,Cout]; "bias" when use_bias).
+    Accepts a list of packed parts + their logical channel split."""
+
+    features: int
+    in_features_total: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts, split: Sequence[int]):
+        if not isinstance(parts, (list, tuple)):
+            parts = [parts]
+            split = [self.in_features_total]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features_total, self.features), jnp.float32)
+        offs, slices = 0, []
+        for c in split:
+            slices.append(kernel[:, :, offs:offs + c, :])
+            offs += c
+        pk = s2d_kernel_multi(slices).astype(self.dtype)
+        y = conv3x3_s2d([p.astype(self.dtype) for p in parts], pk)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + jnp.tile(bias, 4).astype(y.dtype)
+        return y
+
+
+class PackedDoubleConv(nn.Module):
+    """Packed twin of DoubleConv: two PackedConvBNActs, names matching."""
+
+    features: int
+    in_features: Sequence[int]
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts, train: bool = False):
+        y = PackedConvBNAct(self.features, self.in_features,
+                            dtype=self.dtype, name="ConvBNAct_0")(parts, train)
+        y = PackedConvBNAct(self.features, (self.features,),
+                            dtype=self.dtype, name="ConvBNAct_1")(y, train)
+        return y
+
+
+class PackedSCSE(nn.Module):
+    """Packed twin of SCSEBlock.
+
+    cSE: the global pool collapses the packing (mean over packed space and
+    the 4 sub-blocks = mean over logical space), so the two 1x1 convs run
+    on the tiny [N,1,1,C] pooled tensor with stock nn.Conv — identical
+    params.  sSE: the per-pixel projection becomes a block-diagonal
+    4C->4 1x1 conv in packed space; its 4 outputs are the (a,b) sub-pixel
+    gates, broadcast back per block.
+    """
+
+    reduction: int = 16
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        # channel squeeze-excitation on the pooled logical vector
+        s4 = jnp.mean(x, axis=(1, 2), keepdims=True)          # [N,1,1,4C]
+        s = s4.reshape(s4.shape[0], 1, 4, c).mean(axis=2,
+                                                  keepdims=True)  # [N,1,1,C]
+        s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="Conv_0")(s)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="Conv_1")(s)
+        cse_gate = jnp.tile(jax.nn.sigmoid(s), (1, 1, 1, 4))   # [N,1,1,4C]
+        # spatial squeeze-excitation: block-diagonal packed 1x1 under the
+        # plain SCSEBlock's third conv name
+        t = _PackedSSEConv(name="Conv_2", dtype=self.dtype)(x)  # [N,h,w,4]
+        sse_gate = jnp.repeat(jax.nn.sigmoid(t), c, axis=-1)   # [N,h,w,4C]
+        return x * cse_gate + x * sse_gate
+
+
+class _PackedSSEConv(nn.Module):
+    """sSE 1x1 conv (C logical channels -> 1) in packed space; params match
+    nn.Conv(1, (1,1)): kernel [1,1,C,1] + bias [1]."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, c, 1), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        pk, pb = packed_1x1_spatial_kernel(w.astype(self.dtype),
+                                           b.astype(self.dtype))
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), pk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + pb
+
+
+class PackedNestedBlock(nn.Module):
+    """Packed twin of NestedBlock: same-level packed parts + plain
+    (unpacked) below tensor; DoubleConv + scSE in packed space."""
+
+    features: int
+    in_features: Sequence[int]  # logical channels: same_level... then below
+    use_scse: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, same_level_packed, below_plain, train: bool = False):
+        up = tile_as_packed_upsample(below_plain.astype(self.dtype))
+        parts = [p.astype(self.dtype) for p in same_level_packed] + [up]
+        y = PackedDoubleConv(self.features, self.in_features,
+                             dtype=self.dtype, name="DoubleConv_0")(
+            parts, train)
+        if self.use_scse:
+            y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_0")(y)
+        return y

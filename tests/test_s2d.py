@@ -1,0 +1,168 @@
+"""Space-to-depth packed decoder: exactness vs the plain path.
+
+The packed modules (models/packed_blocks.py) must compute the same function
+as their plain twins on the SAME param tree — these tests pin both the
+param-tree compatibility and the numerics (fp32, CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from enhanced_unet_tpu.models.blocks import DoubleConv, SCSEBlock
+from enhanced_unet_tpu.models.enhanced_unet import NestedBlock, UNetPlusPlus
+from enhanced_unet_tpu.models.packed_blocks import (
+    PackedDoubleConv,
+    PackedNestedBlock,
+    PackedSCSE,
+)
+from enhanced_unet_tpu.ops.s2d import (
+    conv3x3_s2d,
+    depth_to_space,
+    rephase,
+    s2d_kernel,
+    space_to_depth,
+    tile_as_packed_upsample,
+)
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.key(key), shape, dtype)
+
+
+def _sorted_leaves(tree):
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    return sorted(leaves, key=lambda kv: jax.tree_util.keystr(kv[0]))
+
+
+class TestS2DOps:
+    def test_roundtrip(self):
+        x = _rand(0, (2, 8, 6, 5))
+        assert jnp.array_equal(depth_to_space(space_to_depth(x)), x)
+
+    def test_packing_layout(self):
+        # channel index (a*2+b)*C + c
+        x = _rand(1, (1, 4, 4, 3))
+        p = space_to_depth(x)
+        np.testing.assert_allclose(p[0, 1, 1, 3 * 1 + 2],  # (a,b)=(0,1), c=2
+                                   x[0, 2, 3, 2])
+        np.testing.assert_allclose(p[0, 0, 0, 3 * 2 + 0],  # (a,b)=(1,0), c=0
+                                   x[0, 1, 0, 0])
+
+    def test_conv3x3_equivalence(self):
+        x = _rand(2, (2, 16, 12, 5))
+        w = _rand(3, (3, 3, 5, 7)) * 0.2
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = depth_to_space(conv3x3_s2d(space_to_depth(x), s2d_kernel(w)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_tile_as_packed_upsample(self):
+        x = _rand(4, (2, 8, 8, 6))
+        up = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+        np.testing.assert_allclose(
+            depth_to_space(tile_as_packed_upsample(x)), up)
+
+    def test_rephase_shape(self):
+        x = _rand(5, (1, 8, 8, 12))
+        assert rephase(x).shape == (1, 9, 9, 12)
+
+
+def _init_both(plain, packed, plain_args, packed_args):
+    v_plain = plain.init(jax.random.key(7), *plain_args)
+    v_packed = packed.init(jax.random.key(7), *packed_args)
+    return v_plain, v_packed
+
+
+class TestPackedBlocks:
+    def test_scse_equivalence(self):
+        x = _rand(10, (2, 16, 16, 8))
+        plain = SCSEBlock(dtype=jnp.float32)
+        packed = PackedSCSE(dtype=jnp.float32)
+        vp, vq = _init_both(plain, packed, (x,), (space_to_depth(x),))
+        # identical param trees (names + shapes + values: same RNG paths)
+        chex_tree_equal(vp, vq)
+        ref = plain.apply(vp, x)
+        got = depth_to_space(packed.apply(vp, space_to_depth(x)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_doubleconv_equivalence_train_and_eval(self):
+        x = _rand(11, (2, 16, 16, 6))
+        plain = DoubleConv(8, dtype=jnp.float32)
+        packed = PackedDoubleConv(8, (6,), dtype=jnp.float32)
+        vp, vq = _init_both(plain, packed, (x, False),
+                            ([space_to_depth(x)], False))
+        chex_tree_equal(vp, vq)
+        ref = plain.apply(vp, x, False)
+        got = depth_to_space(packed.apply(vp, [space_to_depth(x)], False))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        # train mode: outputs AND updated batch stats must match
+        ref, pm = plain.apply(vp, x, True, mutable=["batch_stats"])
+        got, qm = packed.apply(vp, [space_to_depth(x)], True,
+                               mutable=["batch_stats"])
+        np.testing.assert_allclose(depth_to_space(got), ref, atol=1e-4)
+        for (kp, sp), (kq, sq) in zip(_sorted_leaves(pm), _sorted_leaves(qm)):
+            np.testing.assert_allclose(sq, sp, atol=1e-5, err_msg=str(kp))
+
+    def test_nested_block_equivalence(self):
+        f = _rand(12, (2, 16, 16, 5))
+        s1 = _rand(13, (2, 16, 16, 8))
+        below = _rand(14, (2, 8, 8, 10))
+        plain = NestedBlock(8, dtype=jnp.float32)
+        packed = PackedNestedBlock(8, (5, 8, 10), dtype=jnp.float32)
+        vp, vq = _init_both(
+            plain, packed,
+            ([f, s1], below, False),
+            ([space_to_depth(f), space_to_depth(s1)], below, False))
+        chex_tree_equal(vp, vq)
+        ref = plain.apply(vp, [f, s1], below, False)
+        got = depth_to_space(packed.apply(
+            vp, [space_to_depth(f), space_to_depth(s1)], below, False))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def chex_tree_equal(a, b):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves_with_path(b)
+    paths_a = [jax.tree_util.keystr(p) for p, _ in la]
+    paths_b = [jax.tree_util.keystr(p) for p, _ in lb]
+    assert paths_a == paths_b, (
+        f"param tree mismatch:\nplain={paths_a}\npacked={paths_b}")
+    for (pa, va), (_, vb) in zip(la, lb):
+        assert va.shape == vb.shape, jax.tree_util.keystr(pa)
+        np.testing.assert_allclose(va, vb, atol=0,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+class TestPackedUNetPlusPlus:
+    def test_full_branch_equivalence(self):
+        x = _rand(20, (1, 64, 64, 3))
+        plain = UNetPlusPlus(encoder_name="efficientnet-b0",
+                             packed_decoder=False, dtype=jnp.float32)
+        packed = UNetPlusPlus(encoder_name="efficientnet-b0",
+                              packed_decoder=True, dtype=jnp.float32)
+        vp = plain.init(jax.random.key(3), x, False)
+        vq = packed.init(jax.random.key(3), x, False)
+        chex_tree_equal(vp, vq)
+        ref = plain.apply(vp, x, False)
+        got = packed.apply(vp, x, False)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_train_mode_stats_match(self):
+        x = _rand(21, (1, 64, 64, 3))
+        plain = UNetPlusPlus(encoder_name="efficientnet-b0",
+                             packed_decoder=False, dtype=jnp.float32)
+        packed = UNetPlusPlus(encoder_name="efficientnet-b0",
+                              packed_decoder=True, dtype=jnp.float32)
+        vp = plain.init(jax.random.key(3), x, False)
+        rngs = {"dropout": jax.random.key(9)}
+        ref, pm = plain.apply(vp, x, True, mutable=["batch_stats"],
+                              rngs=rngs)
+        got, qm = packed.apply(vp, x, True, mutable=["batch_stats"],
+                               rngs=rngs)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+        for (kp, sp), (_, sq) in zip(_sorted_leaves(pm), _sorted_leaves(qm)):
+            np.testing.assert_allclose(sq, sp, atol=1e-4,
+                                       err_msg=jax.tree_util.keystr(kp))
