@@ -36,12 +36,35 @@ PEAK_BF16_TFLOPS = 197.0
 
 class _EncoderOnly(nn.Module):
     variant: str = "efficientnet-b5"
+    max_stages: int = 7
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = EfficientNetEncoder(variant=self.variant)(x, train)
+        feats = EfficientNetEncoder(variant=self.variant,
+                                    max_stages=self.max_stages)(x, train)
         # touch every level so nothing is DCE'd
         return sum(f.mean(axis=(1, 2, 3)) for f in feats[1:])
+
+
+class _DeepLabDecOnly(nn.Module):
+    """DeepLab decoder alone: ASPP on a synthetic stride-32 feature +
+    low-level fusion convs at stride 4 (input [N,16,16,512] for 512^2)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from enhanced_unet_tpu.models.blocks import ASPP, ConvBNAct
+        from enhanced_unet_tpu.ops.resize import resize_bilinear
+
+        low = jnp.ones((x.shape[0], 128, 128, 40), jnp.bfloat16)
+        y = ASPP(256, dtype=jnp.bfloat16)(x, train)
+        low = ConvBNAct(48, (1, 1), dtype=jnp.bfloat16)(low, train)
+        y = resize_bilinear(y, (128, 128)).astype(low.dtype)
+        y = jnp.concatenate([y, low], axis=-1)
+        y = ConvBNAct(256, dtype=jnp.bfloat16)(y, train)
+        y = ConvBNAct(256, dtype=jnp.bfloat16)(y, train)
+        logits = nn.Conv(3, (1, 1), dtype=jnp.bfloat16,
+                         param_dtype=jnp.float32)(y)
+        return resize_bilinear(logits.astype(jnp.float32), (512, 512))
 
 
 class _FusionOnly(nn.Module):
@@ -200,6 +223,18 @@ def _(): time_forward("deeplab branch b16", DeepLabV3Plus(), (16, 512, 512, 3))
 @cfg("encoder_b5_b16")
 def _(): time_forward("effnet-b5 encoder b16", _EncoderOnly("efficientnet-b5"), (16, 512, 512, 3))
 
+@cfg("encoder_b5_s2_b16")
+def _(): time_forward("effnet-b5 stages 0-1 (stride<=4)", _EncoderOnly("efficientnet-b5", 2), (16, 512, 512, 3))
+
+@cfg("encoder_b5_s3_b16")
+def _(): time_forward("effnet-b5 stages 0-2 (stride<=8)", _EncoderOnly("efficientnet-b5", 3), (16, 512, 512, 3))
+
+@cfg("encoder_b4_b16")
+def _(): time_forward("effnet-b4 encoder b16", _EncoderOnly("efficientnet-b4"), (16, 512, 512, 3))
+
+@cfg("deeplab_dec_b16")
+def _(): time_forward("deeplab decoder alone (ASPP@16^2 + convs@128^2)", _DeepLabDecOnly(), (16, 16, 16, 512))
+
 @cfg("fusion_b16")
 def _(): time_forward("fusion stage b16 (6ch full-res)", _FusionOnly(), (16, 512, 512, 6))
 
@@ -239,25 +274,28 @@ class _HeadOnly(nn.Module):
 
 
 class _HeadOnlyS2D(nn.Module):
-    """Same math in packed space: tile(32->128ch)@256^2, packed convs,
-    depth-to-space at the end."""
+    """Same math in packed space: fused-up first conv (no upsample
+    materialisation), zero-stuffed SAME convs, depth-to-space at the end."""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from enhanced_unet_tpu.ops import s2d as s2dops
 
-        xp = s2dops.tile_as_packed_upsample(x.astype(jnp.bfloat16))
         w1 = self.param("w1", nn.initializers.lecun_normal(),
                         (3, 3, 32, 16), jnp.float32)
         w2 = self.param("w2", nn.initializers.lecun_normal(),
                         (3, 3, 16, 16), jnp.float32)
         w3 = self.param("w3", nn.initializers.lecun_normal(),
                         (3, 3, 16, 3), jnp.float32)
-        y = s2dops.conv3x3_s2d(xp, s2dops.s2d_kernel(w1).astype(jnp.bfloat16))
+        y = s2dops.conv3x3_s2d(
+            None, None, up_input=x.astype(jnp.bfloat16),
+            up_kernel=s2dops.fused_up_kernel(w1).astype(jnp.bfloat16))
         y = nn.relu(y)
-        y = s2dops.conv3x3_s2d(y, s2dops.s2d_kernel(w2).astype(jnp.bfloat16))
+        y = s2dops.conv3x3_s2d(
+            y, s2dops.s2d_kernel_same(w2).astype(jnp.bfloat16))
         y = nn.relu(y)
-        y = s2dops.conv3x3_s2d(y, s2dops.s2d_kernel(w3).astype(jnp.bfloat16))
+        y = s2dops.conv3x3_s2d(
+            y, s2dops.s2d_kernel_same(w3).astype(jnp.bfloat16))
         return s2dops.depth_to_space(y).astype(jnp.float32)
 
 

@@ -81,11 +81,7 @@ class UNetPlusPlus(nn.Module):
             PackedDoubleConv,
             PackedNestedBlock,
         )
-        from enhanced_unet_tpu.ops.s2d import (
-            depth_to_space,
-            space_to_depth,
-            tile_as_packed_upsample,
-        )
+        from enhanced_unet_tpu.ops.s2d import depth_to_space, space_to_depth
 
         packed = self.packed_decoder and self.full_res_head
         enc_cls = (
@@ -129,12 +125,13 @@ class UNetPlusPlus(nn.Module):
             return resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
         # final up block to full resolution (no skip at stride 1)
         if packed:
-            # nearest-up of the logical row-0 output, re-packed on the
-            # full-res grid = channel tile of the unpacked tensor
-            yup = tile_as_packed_upsample(depth_to_space(y))
+            # the nearest-up of the logical row-0 output is folded into the
+            # first conv's kernel (fused_up_kernel) — the full-res tensor
+            # is never materialised
             y = PackedDoubleConv(
                 self.head_channels, (self.row_channels[0],),
-                dtype=self.dtype, name="DoubleConv_0")(yup, train)
+                dtype=self.dtype, name="DoubleConv_0")(
+                [], train, up_part=depth_to_space(y))
             logits_p = PackedConv3x3(
                 self.num_classes, self.head_channels, use_bias=True,
                 dtype=self.dtype, name="Conv_0")(y, (self.head_channels,))

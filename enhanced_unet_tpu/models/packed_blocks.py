@@ -11,9 +11,13 @@ equivalence).
 Why this exists: the UNet++ decoder's 16-32-channel tensors at 256-512px
 lane-pad up to 8x on TPU; packing 2x2 spatial blocks into channels removes
 the padding on every pass and fills the MXU's 128 output lanes
-(benchmarks/decoder_bench.py).  Reference equivalent: none — the reference
-runs these convs through cuDNN NCHW (models.py:217-225); this is the
-TPU-native layout redesign of the same math.
+(benchmarks/decoder_bench.py).  Convs run as zero-stuffed SAME convs on the
+natural packing, and nearest-upsampled operands (the `up(below)` skip and
+the full-res head input) are folded into the conv kernel so the upsample is
+never materialised (ops/s2d.py, benchmarks/head_bench.py).  Reference
+equivalent: none — the reference runs these convs through cuDNN NCHW
+(models.py:217-225); this is the TPU-native layout redesign of the same
+math.
 """
 
 from __future__ import annotations
@@ -26,10 +30,9 @@ from flax import linen as nn
 
 from enhanced_unet_tpu.ops.s2d import (
     conv3x3_s2d,
+    fused_up_kernel,
     packed_1x1_spatial_kernel,
-    s2d_kernel,
-    s2d_kernel_multi,
-    tile_as_packed_upsample,
+    s2d_kernel_same_multi,
 )
 
 Dtype = Any
@@ -83,10 +86,56 @@ class PackedBatchNorm(nn.Module):
         return x.astype(self.dtype) * inv4 + b4
 
 
+class PackedConv3x3(nn.Module):
+    """Bare packed 3x3 SAME conv, param-compatible with nn.Conv
+    (param "kernel" of logical shape [3,3,Cin,Cout]; "bias" when use_bias).
+
+    Input is a list of packed parts plus (optionally) one trailing UNPACKED
+    `up_part` whose logical contribution is conv(nearest_up2x(up_part)) —
+    its kernel slice is the LAST `up_features` input channels.  `split`
+    lists the logical channels of the packed parts only.
+    """
+
+    features: int
+    in_features_total: int  # logical Cin incl. the up slice
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts, split: Sequence[int],
+                 up_part: Optional[jnp.ndarray] = None,
+                 up_features: int = 0):
+        if not isinstance(parts, (list, tuple)):
+            parts = [parts]
+            split = [self.in_features_total - up_features]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features_total, self.features), jnp.float32)
+        offs, slices = 0, []
+        for c in split:
+            slices.append(kernel[:, :, offs:offs + c, :])
+            offs += c
+        pk = (s2d_kernel_same_multi(slices).astype(self.dtype)
+              if slices else None)
+        uk = None
+        if up_part is not None:
+            uk = fused_up_kernel(kernel[:, :, offs:offs + up_features, :]
+                                 ).astype(self.dtype)
+            up_part = up_part.astype(self.dtype)
+        y = conv3x3_s2d([p.astype(self.dtype) for p in parts], pk,
+                        up_input=up_part, up_kernel=uk)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + jnp.tile(bias, 4).astype(y.dtype)
+        return y
+
+
 class PackedConvBNAct(nn.Module):
-    """Packed twin of ConvBNAct (3x3, stride 1, SAME, BN, act) for concat
-    inputs: takes a LIST of packed tensors (the concat parts, in order) and
-    the conv parameter covers their combined logical channels.
+    """Packed twin of ConvBNAct (3x3, stride 1, SAME, BN, act).  Takes a
+    LIST of packed tensors (the concat parts, in order) plus optionally a
+    trailing unpacked nearest-upsampled operand (see PackedConv3x3); the
+    conv parameter covers their combined logical channels.
 
     Only the decoder configuration is supported (kernel 3x3, stride 1,
     use_bn=True, no bias) — exactly what NestedBlock/DoubleConv use.
@@ -98,50 +147,25 @@ class PackedConvBNAct(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, parts, train: bool = False):
+    def __call__(self, parts, train: bool = False,
+                 up_part: Optional[jnp.ndarray] = None):
         if not isinstance(parts, (list, tuple)):
             parts = [parts]
+        up_features = 0
+        split = list(self.in_features)
+        if up_part is not None:
+            up_features = split[-1]  # up slice is the last concat part
+            split = split[:-1]
         cin = sum(self.in_features)
         # same name/shape as nn.Conv inside plain ConvBNAct ("Conv_0")
         kernel = PackedConv3x3(self.features, cin, name="Conv_0",
                                dtype=self.dtype)
-        y = kernel(parts, self.in_features)
+        y = kernel(parts, split, up_part=up_part, up_features=up_features)
         y = PackedBatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype,
                             name="BatchNorm_0")(y)
         if self.act is not None:
             y = self.act(y)
-        return y
-
-
-class PackedConv3x3(nn.Module):
-    """Bare packed 3x3 SAME conv, param-compatible with nn.Conv
-    (param "kernel" of logical shape [3,3,Cin,Cout]; "bias" when use_bias).
-    Accepts a list of packed parts + their logical channel split."""
-
-    features: int
-    in_features_total: int
-    use_bias: bool = False
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, parts, split: Sequence[int]):
-        if not isinstance(parts, (list, tuple)):
-            parts = [parts]
-            split = [self.in_features_total]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, self.in_features_total, self.features), jnp.float32)
-        offs, slices = 0, []
-        for c in split:
-            slices.append(kernel[:, :, offs:offs + c, :])
-            offs += c
-        pk = s2d_kernel_multi(slices).astype(self.dtype)
-        y = conv3x3_s2d([p.astype(self.dtype) for p in parts], pk)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
-            y = y + jnp.tile(bias, 4).astype(y.dtype)
         return y
 
 
@@ -153,9 +177,11 @@ class PackedDoubleConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, parts, train: bool = False):
+    def __call__(self, parts, train: bool = False,
+                 up_part: Optional[jnp.ndarray] = None):
         y = PackedConvBNAct(self.features, self.in_features,
-                            dtype=self.dtype, name="ConvBNAct_0")(parts, train)
+                            dtype=self.dtype, name="ConvBNAct_0")(
+            parts, train, up_part=up_part)
         y = PackedConvBNAct(self.features, (self.features,),
                             dtype=self.dtype, name="ConvBNAct_1")(y, train)
         return y
@@ -216,7 +242,9 @@ class _PackedSSEConv(nn.Module):
 
 class PackedNestedBlock(nn.Module):
     """Packed twin of NestedBlock: same-level packed parts + plain
-    (unpacked) below tensor; DoubleConv + scSE in packed space."""
+    (unpacked) below tensor; DoubleConv + scSE in packed space.  The
+    nearest-upsample of `below` is folded into the first conv's kernel
+    (fused_up_kernel) — no tile/upsample pass."""
 
     features: int
     in_features: Sequence[int]  # logical channels: same_level... then below
@@ -225,11 +253,10 @@ class PackedNestedBlock(nn.Module):
 
     @nn.compact
     def __call__(self, same_level_packed, below_plain, train: bool = False):
-        up = tile_as_packed_upsample(below_plain.astype(self.dtype))
-        parts = [p.astype(self.dtype) for p in same_level_packed] + [up]
+        parts = [p.astype(self.dtype) for p in same_level_packed]
         y = PackedDoubleConv(self.features, self.in_features,
                              dtype=self.dtype, name="DoubleConv_0")(
-            parts, train)
+            parts, train, up_part=below_plain.astype(self.dtype))
         if self.use_scse:
             y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_0")(y)
         return y

@@ -9,12 +9,25 @@ branch, benchmarks/decoder_bench.py).  Packing 2x2 spatial blocks into
 channels (32ch @ 256^2 -> 128ch @ 128^2) fills the lanes.
 
 The rewrite is EXACT (not an approximation): a 3x3 SAME conv on the
-original grid equals a 2x2 VALID conv on a half-pixel-shifted packing of
-the s2d grid, with the 3x3 kernel zero-stuffed into a [2,2,4Cin,4Cout]
-kernel (derivation in `s2d_kernel`).  FLOPs grow 16/9 = 1.78x (the MXU
-cannot skip the structured zeros) but output-lane utilisation grows 4x for
-Cout=32, a net ~2.25x on the MXU plus the 4x bandwidth saving on every
-elementwise/BN/concat pass.
+original grid equals a 3x3 SAME conv on the NATURAL s2d packing with the
+9 logical taps scattered into a zero-stuffed [3,3,4Cin,4Cout] kernel
+(`s2d_kernel_same`).  The MXU cannot skip the structured zeros, so FLOPs
+grow 4x — but lane utilisation grows 4x for Cout<=32 and every
+elementwise/BN/concat pass saves 4x HBM bandwidth, a measured net win.
+
+An earlier formulation (rephase the packing by one sub-pixel with a
+pad+concat pass, then a 2x2 VALID conv — only 16/9 FLOP growth) was
+benchmarked SLOWER despite the lower FLOP count: the rephase pass is pure
+data movement (3.3 ms alone at [16,256,256,64]) and the odd-sized 257^2
+VALID conv tiles poorly (benchmarks/head_bench.py: 9.0 vs 3.5 ms per
+conv).  TPU lesson: zero-stuffed MXU work beats an extra HBM pass.
+
+For inputs that are NEAREST-UPSAMPLED (the decoder's `up(below)` operand
+and the full-res head input), the upsample never needs materialising:
+conv3x3(nearest_up2x(x)) == s2d-packed conv3x3 of x with per-parity
+collapsed taps (`fused_up_kernel`) — one conv at LOW resolution with no
+FLOP waste and no 4x channel tile (head: 19.9 -> 6.6 ms,
+benchmarks/head_bench.py).
 
 Packing convention ("natural"): [N,H,W,C] -> [N,H/2,W/2,4C] with channel
 index (a*2+b)*C + c for sub-pixel (a,b) — `space_to_depth`.  All packed
@@ -31,14 +44,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# _SEL[dy, da, a, u] = 1 iff u == 2*dy + da - a (see `s2d_kernel`)
-_SEL = np.zeros((2, 2, 2, 3), np.float32)
-for _dy in range(2):
+# _SEL_SAME[dy, da, a, u] = 1 iff u == 2*(dy-1) + da - a + 1 (see
+# `s2d_kernel_same`)
+_SEL_SAME = np.zeros((3, 2, 2, 3), np.float32)
+for _dy in range(3):
     for _da in range(2):
         for _a in range(2):
-            _u = 2 * _dy + _da - _a
+            _u = 2 * (_dy - 1) + _da - _a + 1
             if 0 <= _u <= 2:
-                _SEL[_dy, _da, _a, _u] = 1.0
+                _SEL_SAME[_dy, _da, _a, _u] = 1.0
+
+# _SEL_UP[d, a, u] = weight of original tap u on low-res offset d for output
+# parity a, for a nearest-2x-upsampled input (see `fused_up_kernel`):
+#   a=0: d=-1 <- w[0];        d=0 <- w[1]+w[2]
+#   a=1: d=0  <- w[0]+w[1];   d=+1 <- w[2]
+_SEL_UP = np.zeros((3, 2, 3), np.float32)
+_SEL_UP[0, 0, 0] = 1.0
+_SEL_UP[1, 0, 1] = _SEL_UP[1, 0, 2] = 1.0
+_SEL_UP[1, 1, 0] = _SEL_UP[1, 1, 1] = 1.0
+_SEL_UP[2, 1, 2] = 1.0
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
@@ -61,83 +85,93 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
 def tile_as_packed_upsample(x: jnp.ndarray) -> jnp.ndarray:
     """space_to_depth(upsample2x_nearest(x)) without materialising the
     upsampled tensor: nearest-2x makes all four sub-pixels equal, so the
-    packed form is just the channels tiled 4x."""
+    packed form is just the channels tiled 4x.  (Prefer `fused_up_kernel`
+    when the consumer is a 3x3 conv — then even the tile is unnecessary.)"""
     return jnp.tile(x, (1, 1, 1, 4))
 
 
-def rephase(x_nat: jnp.ndarray) -> jnp.ndarray:
-    """Natural packing [N,h,w,4C] -> shifted packing [N,h+1,w+1,4C] where
-    output pixel (R,Q) sub-block (da,db) holds original pixel
-    (2R-1+da, 2Q-1+db), zeros outside — i.e. space_to_depth of the
-    ((1,1),(1,1))-padded original.  One slice/pad/concat pass."""
-    n, h, w, c4 = x_nat.shape
-    c = c4 // 4
-    blocks = x_nat.reshape(n, h, w, 2, 2, c)
-    out = []
-    for da in range(2):
-        for db in range(2):
-            # original row 2R-1+da: da=0 -> natural row R-1 sub-row 1,
-            # da=1 -> natural row R sub-row 0 (same for columns).
-            a, b = 1 - da, 1 - db
-            down, right = 1 - da, 1 - db
-            out.append(jnp.pad(
-                blocks[:, :, :, a, b, :],
-                ((0, 0), (down, 1 - down), (right, 1 - right), (0, 0)),
-            ))
-    return jnp.concatenate(out, axis=-1)
+def s2d_kernel_same(w: jnp.ndarray) -> jnp.ndarray:
+    """Pack a 3x3 HWIO kernel [3,3,Cin,Cout] into a zero-stuffed
+    [3,3,4Cin,4Cout] kernel so that conv3x3-SAME on the NATURAL packing
+    equals the packing of conv3x3-SAME on the original.
 
-
-def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """Pack a 3x3 HWIO kernel [3,3,Cin,Cout] into [2,2,4Cin,4Cout] so that
-    conv2x2_VALID(rephase(x_packed), packed_kernel) equals the natural
-    packing of conv3x3_SAME(x, w).
-
-    Derivation: with x' = pad(x, ((1,1),(1,1))) and S = rephase(packed x)
-    (= space_to_depth(x')), output parity (a,b) of the original conv is
-    out[2i+a, 2j+b] = sum_{u,v} w[u,v] * x'[2i+a+u, 2j+b+v], and
-    x'[2i+a+u] sits at S row i + (a+u)//2, sub-row (a+u)%2.  So S-kernel
-    tap (dy, da) -> original tap u = 2*dy + da - a when 0 <= u <= 2
-    (zero otherwise); columns identically.
+    Derivation: output sub-pixel (a,b) at packed pixel (i,j) is original
+    pixel (2i+a, 2j+b); original tap u reads row 2i+a+u-1, which lives at
+    packed row i + dy - 1 (dy in 0..2), sub-row da with
+    u = 2*(dy-1) + da - a + 1 (valid when 0 <= u <= 2; zero otherwise).
+    SAME zero-padding on the packed grid corresponds exactly to SAME
+    zero-padding on the original grid.
     """
     cin, cout = w.shape[2], w.shape[3]
-    # selection tensor M[dy, da, a, u] = 1 iff u == 2*dy + da - a
-    sel = _SEL.astype(w.dtype)
+    sel = jnp.asarray(_SEL_SAME, w.dtype)
     # packed[dy,dx,(da,db,cin),(a,b,cout)]
     packed = jnp.einsum("YdAu,XeBv,uvio->YXdeiABo", sel, sel, w)
-    return packed.reshape(2, 2, 4 * cin, 4 * cout)
+    return packed.reshape(3, 3, 4 * cin, 4 * cout)
 
 
-def s2d_kernel_multi(parts) -> jnp.ndarray:
-    """Pack a 3x3 kernel whose input side is a CONCAT of packed tensors:
-    `parts` is a list of [3,3,Cin_i,Cout] kernel slices (in concat order);
-    returns [2,2,4*sum(Cin_i),4*Cout] matching the channel layout of
-    jnp.concatenate([packed_i], -1)."""
-    return jnp.concatenate([s2d_kernel(p) for p in parts], axis=2)
+def s2d_kernel_same_multi(parts) -> jnp.ndarray:
+    """`s2d_kernel_same` for a kernel whose input side is a CONCAT of packed
+    tensors: `parts` is a list of [3,3,Cin_i,Cout] kernel slices (in concat
+    order); returns [3,3,4*sum(Cin_i),4*Cout] matching the channel layout
+    of jnp.concatenate([packed_i], -1)."""
+    return jnp.concatenate([s2d_kernel_same(p) for p in parts], axis=2)
+
+
+def fused_up_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Fuse nearest-2x upsampling into a 3x3 conv: returns [3,3,Cin,4Cout]
+    such that conv3x3-SAME(nearest_up2x(x), w) ==
+    depth_to_space(conv3x3-SAME(x, fused_up_kernel(w))).
+
+    Derivation: out[2i+a] = sum_u w[u] * up[2i+a+u-1] and up[p] = x[p//2],
+    so tap u reads x[i + (a+u-1)//2]: per output parity the 3 taps collapse
+    onto 2 low-res offsets (weights _SEL_UP).  Border: zero-SAME padding at
+    high res maps exactly to zero-SAME padding at low res.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    sel = jnp.asarray(_SEL_UP, w.dtype)
+    k = jnp.einsum("YAu,XBv,uvio->YXiABo", sel, sel, w)
+    return k.reshape(3, 3, cin, 4 * cout)
 
 
 def conv3x3_s2d(
     x_packed,
-    packed_kernel: jnp.ndarray,
+    stuffed_kernel: jnp.ndarray,
+    up_input: jnp.ndarray | None = None,
+    up_kernel: jnp.ndarray | None = None,
     precision=None,
 ) -> jnp.ndarray:
     """3x3 SAME conv computed entirely in packed space.
 
     x_packed: one natural-packed [N,h,w,4Cin] tensor OR a list of packed
-    tensors (the logical concat, in order — each part keeps its own
-    (a,b,c) sub-layout, so each is rephased separately; the kernel from
-    `s2d_kernel_multi` is built part-blockwise to match).  packed_kernel
-    must already be cast to the compute dtype.  Returns natural-packed
-    [N,h,w,4Cout]."""
-    if isinstance(x_packed, (list, tuple)):
-        x = jnp.concatenate([rephase(p) for p in x_packed], axis=-1)
-    else:
-        x = rephase(x_packed)
-    return jax.lax.conv_general_dilated(
-        x, packed_kernel,
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=precision,
-    )
+    tensors (the logical concat, in order), or None/[] when the input is
+    only `up_input`.  stuffed_kernel: [3,3,4Cin_total,4Cout] from
+    `s2d_kernel_same(_multi)`.  up_input/up_kernel: an optional additional
+    UNPACKED operand [N,h,w,Cup] whose logical contribution is
+    conv3x3(nearest_up2x(up_input)) — computed via `fused_up_kernel` with
+    no upsample materialisation (linearity of conv over the channel
+    concat).  Kernels must already be cast to the compute dtype.  Returns
+    natural-packed [N,h,w,4Cout]."""
+
+    def _conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+
+    y = None
+    if x_packed is not None:
+        if isinstance(x_packed, (list, tuple)):
+            if x_packed:
+                x = (jnp.concatenate(x_packed, axis=-1)
+                     if len(x_packed) > 1 else x_packed[0])
+                y = _conv(x, stuffed_kernel)
+        else:
+            y = _conv(x_packed, stuffed_kernel)
+    if up_input is not None:
+        yu = _conv(up_input, up_kernel)
+        y = yu if y is None else y + yu
+    return y
 
 
 def packed_1x1_spatial_kernel(w: jnp.ndarray, bias=None):

@@ -21,8 +21,8 @@ from enhanced_unet_tpu.models.packed_blocks import (
 from enhanced_unet_tpu.ops.s2d import (
     conv3x3_s2d,
     depth_to_space,
-    rephase,
-    s2d_kernel,
+    fused_up_kernel,
+    s2d_kernel_same,
     space_to_depth,
     tile_as_packed_upsample,
 )
@@ -56,7 +56,8 @@ class TestS2DOps:
         w = _rand(3, (3, 3, 5, 7)) * 0.2
         ref = jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        got = depth_to_space(conv3x3_s2d(space_to_depth(x), s2d_kernel(w)))
+        got = depth_to_space(
+            conv3x3_s2d(space_to_depth(x), s2d_kernel_same(w)))
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
     def test_tile_as_packed_upsample(self):
@@ -65,9 +66,32 @@ class TestS2DOps:
         np.testing.assert_allclose(
             depth_to_space(tile_as_packed_upsample(x)), up)
 
-    def test_rephase_shape(self):
-        x = _rand(5, (1, 8, 8, 12))
-        assert rephase(x).shape == (1, 9, 9, 12)
+    def test_fused_up_conv_equivalence(self):
+        # conv3x3(nearest_up2x(x)) == d2s(conv3x3(x, fused_up_kernel(w)))
+        x = _rand(5, (2, 9, 7, 4))
+        w = _rand(6, (3, 3, 4, 6)) * 0.2
+        up = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+        ref = jax.lax.conv_general_dilated(
+            up, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = depth_to_space(
+            conv3x3_s2d(None, None, up_input=x, up_kernel=fused_up_kernel(w)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_mixed_packed_plus_up_equivalence(self):
+        # conv over concat([packed part, nearest-up part]) == stuffed conv
+        # of the packed part + fused-up conv of the low-res part
+        xp = _rand(7, (2, 10, 10, 3))
+        xl = _rand(8, (2, 5, 5, 4))
+        w = _rand(9, (3, 3, 7, 6)) * 0.2
+        up = jnp.repeat(jnp.repeat(xl, 2, 1), 2, 2)
+        cat = jnp.concatenate([xp, up], axis=-1)
+        ref = jax.lax.conv_general_dilated(
+            cat, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = depth_to_space(conv3x3_s2d(
+            [space_to_depth(xp)], s2d_kernel_same(w[:, :, :3, :]),
+            up_input=xl, up_kernel=fused_up_kernel(w[:, :, 3:, :])))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def _init_both(plain, packed, plain_args, packed_args):
