@@ -41,9 +41,10 @@ A100_REFERENCE_TRAIN_IPS = 12.0
 
 
 def main():
-    # batch 16 is the measured throughput-optimal serving batch on v5e
-    # (107 vs 94 img/s at batch 8, reference fusion placement)
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch 32 is the measured throughput-optimal serving batch on v5e
+    # (160.6 vs 152.1 img/s at batch 16, reference fusion placement,
+    # round-2 packed decoder)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "infer")

@@ -75,8 +75,13 @@ class ModelConfig:
     # Compute dtype for conv/matmul (params are always fp32).  bf16 feeds the
     # MXU at full rate on TPU; fp32 is used for tests / strict parity.
     compute_dtype: str = "bfloat16"
-    # Route hot blocks through Pallas kernels where they beat XLA.
-    use_pallas: bool = False
+    # Run the UNet++ decoder row 0 + full-res head in space-to-depth packed
+    # layout (ops/s2d.py) — the custom-kernel path that won on TPU
+    # (benchmarks/head_bench.py: head 19.5 -> 5.5 ms).  Hand-written Pallas
+    # conv kernels were benchmarked and retired instead: see
+    # docs/ARCHITECTURE.md "Pallas verdict" (ops/pallas/conv_fused.py and
+    # benchmarks/pallas_mbconv_*.py are the receipts).
+    packed_decoder: bool = True
     # enhanced_unet dropout knobs (models.py:265, 291, 295)
     decoder_dropout: float = 0.15
     fusion_dropout: Tuple[float, float] = (0.2, 0.15)

@@ -190,11 +190,15 @@ class EnhancedUNet(nn.Module):
     # useful for large-batch/large-resolution training (512x512 training is
     # HBM-bound on v5e)
     remat: bool = False
+    # route the UNet++ decoder through the s2d packed layout (ModelConfig
+    # .packed_decoder; same params/math either way, tests/test_s2d.py)
+    packed_decoder: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
         out_main = UNetPlusPlus(self.num_classes, remat=self.remat,
+                                packed_decoder=self.packed_decoder,
                                 dtype=self.dtype)(x, train)
         out_aux = DeepLabV3Plus(self.num_classes, remat=self.remat,
                                 dtype=self.dtype)(x, train)
