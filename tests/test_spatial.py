@@ -1,4 +1,4 @@
-"""Spatial-partition conv with halo exchange == unsharded conv (8 devices)."""
+"""Spatial-partition ops with halo exchange == unsharded versions (8 devices)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,6 +7,7 @@ import numpy as np
 from enhanced_unet_tpu.parallel import make_mesh
 from enhanced_unet_tpu.parallel.spatial import (
     halo_exchange,
+    make_spatial_basic_unet,
     make_spatial_conv3x3,
     shard_image_h,
 )
@@ -59,3 +60,26 @@ def test_halo_exchange_contents(rng):
             np.testing.assert_array_equal(out[i, 9], xs[i + 1, 0])
         else:
             np.testing.assert_array_equal(out[i, 9], np.zeros((4, 2)))
+
+
+def test_spatial_basic_unet_matches_unsharded(rng):
+    """Whole-model H-sharded BasicUNet inference == stock model.apply.
+
+    Exercises halo-exchanged convs at four resolutions, local pools, and
+    edge-clamped halo bilinear upsampling, on the standard checkpoint
+    tree."""
+    from enhanced_unet_tpu.models.unet import BasicUNet
+
+    mesh = make_mesh(8, axis_name="space")
+    h, w = 128, 32  # H_local = 16, divisible by 8 (three pools)
+    x = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+
+    model = BasicUNet(num_classes=3, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, h, w, 3)),
+                           train=False)
+    expected, _ = model.apply(variables, x[None], train=False)
+
+    fwd = make_spatial_basic_unet(mesh, "space")
+    got = fwd(variables, shard_image_h(x, mesh, "space"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected[0]),
+                               atol=2e-4, rtol=1e-3)
