@@ -41,10 +41,10 @@ A100_REFERENCE_TRAIN_IPS = 12.0
 
 
 def main():
-    # batch 32 is the measured throughput-optimal serving batch on v5e
-    # (160.6 vs 152.1 img/s at batch 16, reference fusion placement,
-    # round-2 packed decoder)
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # batch 64 is the measured throughput-optimal serving batch on v5e
+    # (188.6 img/s vs 160.6 at 32 and 152.1 at 16; 96 OOMs at 18.9G of
+    # 15.75G HBM) — reference fusion placement, round-2 packed decoder
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "infer")
