@@ -50,8 +50,42 @@ def build(target):
     return model, shape
 
 
+def trace_train():
+    """Per-op trace of one jitted train step (batch 8, 512^2)."""
+    from enhanced_unet_tpu.config import get_preset
+    from enhanced_unet_tpu.models import get_model
+    from enhanced_unet_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = get_preset("enhanced_unet", num_epochs=50)
+    model = get_model("enhanced_unet", dtype=jnp.bfloat16)
+    state = create_train_state(
+        model, cfg, steps_per_epoch=100, rng=jax.random.key(0),
+        input_shape=(8, 512, 512, 3))
+    x = jnp.asarray(rng.random((8, 512, 512, 3)), jnp.float32)
+    masks = jnp.asarray(rng.integers(0, 3, (8, 512, 512)), jnp.int32)
+    valid = jnp.ones((8, 512, 512), bool)
+    step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    d_rng = jax.random.key(1)
+
+    state, _ = step(state, x, masks, valid, d_rng)  # warm (donates!)
+    jax.block_until_ready(state.params)
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(3):
+            state, m = step(state, x, masks, valid, d_rng)
+        jax.block_until_ready(state.params)
+    return "train"
+
+
 def main():
     target = sys.argv[1] if len(sys.argv) > 1 else "full"
+    if target == "train":
+        trace_train()
+        report("train")
+        return
     model, shape = build(target)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random(shape), jnp.float32)
@@ -77,7 +111,10 @@ def main():
         for _ in range(3):
             y = fwd(params, stats, x)
         jax.block_until_ready(y)
+    report(target)
 
+
+def report(target):
     files = sorted(glob.glob(f"{TRACE_DIR}/plugins/profile/*/*.trace.json.gz"),
                    key=os.path.getmtime)
     if not files:

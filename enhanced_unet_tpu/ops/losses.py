@@ -11,10 +11,18 @@ The reference evaluates each loss per-sample on a batch of 1 inside a Python
 loop (train_eval.py:262-335) and averages.  With uniform sample shapes that
 is mathematically identical to one batched evaluation, so here the whole
 bundle is a single jitted function over [B, H, W, C] logits: softmax and
-one-hot are computed once and shared by all three losses, letting XLA fuse
-the entire bundle into the backward pass.
+per-class masks are computed once and shared by all three losses, letting
+XLA fuse the entire bundle into the backward pass.
 
-Logits layout is NHWC (TPU-native), targets are [B, H, W] int class ids.
+TPU layout note: the public API takes NHWC logits, but internally every
+loss runs CHANNEL-FIRST on [B, C, H*W] planes.  A [B, 512, 512, 3] fp32
+tensor lane-pads 3 -> 128 (42x) on TPU, and the round-1 formulation's
+elementwise/gather/reduce passes over such tensors cost ~93 ms of a 385 ms
+train step (three identical 31 ms loss fusions, benchmarks/op_trace.py
+train).  One moveaxis per branch converts to dense [B, P]-plane math;
+class gathers (w[tgt], a[tgt], one-hot) become sums over C static
+per-class masks (C=3).
+
 An optional `valid_mask` excludes padded pixels (static-shape batching);
 with an all-ones mask the math reduces exactly to the reference's.
 """
@@ -29,9 +37,95 @@ import jax.numpy as jnp
 from enhanced_unet_tpu.config import LossConfig
 
 
-def _one_hot(targets: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    return jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
+def _to_cf(logits: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> channel-first [B, C, P] fp32 (P = H*W)."""
+    b, h, w, c = logits.shape
+    return jnp.moveaxis(logits.astype(jnp.float32), -1, 1).reshape(b, c, h * w)
 
+
+def _flat(x: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """[B, H, W] -> [B, P]."""
+    if x is None:
+        return None
+    return x.reshape(x.shape[0], -1)
+
+
+def _class_masks(tgt: jnp.ndarray, num_classes: int):
+    """Per-class {0,1} masks [C x (B, P)] — the channel-first substitute
+    for one_hot/gather on tiny-C tensors."""
+    return [(tgt == c).astype(jnp.float32) for c in range(num_classes)]
+
+
+def _log_softmax_cf(logits_cf: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.log_softmax(logits_cf, axis=1)
+
+
+def _focal_cf(
+    logp: jnp.ndarray,
+    masks,
+    alpha: Tuple[float, ...],
+    gamma: float,
+    class_weights: Tuple[float, ...],
+    valid: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Class-weighted focal cross-entropy (train_eval.py:37-60).
+
+    Keeps the reference's quirk that the CE term is *pre-weighted* before
+    pt = exp(-ce): pt therefore depends on the class weight, exactly as
+    F.cross_entropy(weight=..., reduction='none') produces.
+    """
+    c = logp.shape[1]
+    nll = sum(-logp[:, i] * masks[i] for i in range(c))        # [B, P]
+    wmap = sum(class_weights[i] * masks[i] for i in range(c))
+    amap = sum(alpha[i] * masks[i] for i in range(c))
+    ce = wmap * nll
+    pt = jnp.exp(-ce)
+    focal = amap * (1.0 - pt) ** gamma * ce
+    if valid is None:
+        return jnp.mean(focal)
+    return jnp.sum(focal * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def _overlap_terms_cf(probs_cf, masks, valid):
+    """Per-sample per-class (tp, fp, fn) sums shared by Dice and Tversky.
+    Returns [B, C] each."""
+    c = probs_cf.shape[1]
+    tps, fps, fns = [], [], []
+    for i in range(c):
+        p = probs_cf[:, i]
+        m = masks[i]
+        if valid is not None:
+            p = p * valid
+            m = m * valid
+        pm = jnp.sum(p * m, axis=1)
+        tps.append(pm)
+        fps.append(jnp.sum(p, axis=1) - pm)           # p*(1-m)
+        fns.append(jnp.sum(m, axis=1) - pm)           # (1-p)*m
+    return (jnp.stack(tps, 1), jnp.stack(fps, 1), jnp.stack(fns, 1))
+
+
+def _dice_from_terms(tp, fp, fn, class_weights, eps):
+    """Weighted soft Dice (train_eval.py:134-157): per-sample dice per
+    class, weighted, mean over batch, mean over classes."""
+    # reference: union = pred.sum + target.sum = (tp+fp) + (tp+fn)
+    union = 2.0 * tp + fp + fn
+    dice = (2.0 * tp + eps) / (union + eps)
+    w = jnp.asarray(class_weights, dtype=jnp.float32)
+    per_class = jnp.mean((1.0 - dice) * w[None, :], axis=0)  # mean over batch
+    return jnp.mean(per_class)  # sum/len over classes
+
+
+def _tversky_from_terms(tp, fp, fn, class_weights, alpha, eps):
+    """Weighted Tversky (train_eval.py:159-181)."""
+    tversky = (tp + eps) / (tp + alpha * fp + (1.0 - alpha) * fn + eps)
+    w = jnp.asarray(class_weights, dtype=jnp.float32)
+    per_class = jnp.mean((1.0 - tversky) * w[None, :], axis=0)
+    return jnp.mean(per_class)
+
+
+# ---------------------------------------------------------------------------
+# public API (NHWC logits, [B,H,W] int targets) — unchanged signatures
+# ---------------------------------------------------------------------------
 
 def focal_loss(
     logits: jnp.ndarray,
@@ -41,48 +135,12 @@ def focal_loss(
     class_weights: Tuple[float, ...],
     valid_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Class-weighted focal cross-entropy (train_eval.py:37-60).
-
-    Keeps the reference's quirk that the CE term is *pre-weighted* before
-    pt = exp(-ce): pt therefore depends on the class weight, exactly as
-    F.cross_entropy(weight=..., reduction='none') produces.
-    """
-    logits = logits.astype(jnp.float32)
-    num_classes = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt = targets.astype(jnp.int32)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(class_weights, dtype=jnp.float32)
-    a = jnp.asarray(alpha, dtype=jnp.float32)
-    ce = w[tgt] * nll
-    pt = jnp.exp(-ce)
-    focal = a[tgt] * (1.0 - pt) ** gamma * ce
-    if valid_mask is None:
-        return jnp.mean(focal)
-    m = valid_mask.astype(jnp.float32)
-    return jnp.sum(focal * m) / jnp.maximum(jnp.sum(m), 1.0)
-
-
-def _soft_overlap_terms(
-    probs: jnp.ndarray,
-    targets: jnp.ndarray,
-    valid_mask: Optional[jnp.ndarray],
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-sample per-class (tp, fp, fn) sums shared by Dice and Tversky.
-
-    probs: [B, H, W, C] softmax; targets: [B, H, W].
-    Returns [B, C] each.
-    """
-    num_classes = probs.shape[-1]
-    onehot = _one_hot(targets, num_classes)
-    if valid_mask is not None:
-        m = valid_mask.astype(jnp.float32)[..., None]
-        probs = probs * m
-        onehot = onehot * m
-    tp = jnp.sum(probs * onehot, axis=(1, 2))
-    fp = jnp.sum(probs * (1.0 - onehot), axis=(1, 2))
-    fn = jnp.sum((1.0 - probs) * onehot, axis=(1, 2))
-    return tp, fp, fn
+    lcf = _to_cf(logits)
+    tgt = _flat(targets.astype(jnp.int32))
+    masks = _class_masks(tgt, lcf.shape[1])
+    valid = None if valid_mask is None else _flat(valid_mask).astype(jnp.float32)
+    return _focal_cf(_log_softmax_cf(lcf), masks, alpha, gamma,
+                     class_weights, valid)
 
 
 def dice_loss(
@@ -93,17 +151,15 @@ def dice_loss(
     valid_mask: Optional[jnp.ndarray] = None,
     probs: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Weighted soft Dice (train_eval.py:134-157): per-sample dice per class,
-    weighted, mean over batch, mean over classes."""
-    if probs is None:
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    tp, fp, fn = _soft_overlap_terms(probs, targets, valid_mask)
-    # reference: union = pred.sum + target.sum = (tp+fp) + (tp+fn)
-    union = 2.0 * tp + fp + fn
-    dice = (2.0 * tp + eps) / (union + eps)
-    w = jnp.asarray(class_weights, dtype=jnp.float32)
-    per_class = jnp.mean((1.0 - dice) * w[None, :], axis=0)  # mean over batch
-    return jnp.mean(per_class)  # sum/len over classes
+    """probs, when given, must be NHWC softmax of the logits (shared
+    between dice and tversky by combined_loss)."""
+    pcf = _to_cf(probs) if probs is not None else jax.nn.softmax(
+        _to_cf(logits), axis=1)
+    tgt = _flat(targets.astype(jnp.int32))
+    masks = _class_masks(tgt, pcf.shape[1])
+    valid = None if valid_mask is None else _flat(valid_mask).astype(jnp.float32)
+    tp, fp, fn = _overlap_terms_cf(pcf, masks, valid)
+    return _dice_from_terms(tp, fp, fn, class_weights, eps)
 
 
 def tversky_loss(
@@ -115,14 +171,13 @@ def tversky_loss(
     valid_mask: Optional[jnp.ndarray] = None,
     probs: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Weighted Tversky (train_eval.py:159-181)."""
-    if probs is None:
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    tp, fp, fn = _soft_overlap_terms(probs, targets, valid_mask)
-    tversky = (tp + eps) / (tp + alpha * fp + (1.0 - alpha) * fn + eps)
-    w = jnp.asarray(class_weights, dtype=jnp.float32)
-    per_class = jnp.mean((1.0 - tversky) * w[None, :], axis=0)
-    return jnp.mean(per_class)
+    pcf = _to_cf(probs) if probs is not None else jax.nn.softmax(
+        _to_cf(logits), axis=1)
+    tgt = _flat(targets.astype(jnp.int32))
+    masks = _class_masks(tgt, pcf.shape[1])
+    valid = None if valid_mask is None else _flat(valid_mask).astype(jnp.float32)
+    tp, fp, fn = _overlap_terms_cf(pcf, masks, valid)
+    return _tversky_from_terms(tp, fp, fn, class_weights, alpha, eps)
 
 
 def combined_loss(
@@ -132,19 +187,23 @@ def combined_loss(
     valid_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """focal_w*focal + dice_w*dice + tversky_w*tversky
-    (train_eval.py:183-197), with softmax computed once."""
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    f = focal_loss(
-        logits, targets, cfg.focal_alpha, cfg.focal_gamma,
-        cfg.ce_class_weights, valid_mask,
-    )
-    d = dice_loss(
-        logits, targets, cfg.dice_class_weights, cfg.eps, valid_mask, probs=probs
-    )
-    t = tversky_loss(
-        logits, targets, cfg.tversky_class_weights, cfg.tversky_alpha,
-        cfg.eps, valid_mask, probs=probs,
-    )
+    (train_eval.py:183-197), with one layout conversion and one softmax
+    shared by all three losses."""
+    return _combined_loss_cf(_to_cf(logits), targets, cfg, valid_mask)
+
+
+def _combined_loss_cf(lcf, targets, cfg, valid_mask):
+    tgt = _flat(targets.astype(jnp.int32))
+    masks = _class_masks(tgt, lcf.shape[1])
+    valid = None if valid_mask is None else _flat(valid_mask).astype(jnp.float32)
+    logp = _log_softmax_cf(lcf)
+    probs = jnp.exp(logp)
+    f = _focal_cf(logp, masks, cfg.focal_alpha, cfg.focal_gamma,
+                  cfg.ce_class_weights, valid)
+    tp, fp, fn = _overlap_terms_cf(probs, masks, valid)
+    d = _dice_from_terms(tp, fp, fn, cfg.dice_class_weights, cfg.eps)
+    t = _tversky_from_terms(tp, fp, fn, cfg.tversky_class_weights,
+                            cfg.tversky_alpha, cfg.eps)
     return cfg.focal_weight * f + cfg.dice_weight * d + cfg.tversky_weight * t
 
 
@@ -163,21 +222,24 @@ def combined_loss_with_aux(
     full-resolution aux heads, so no interpolate step is needed here; the
     reference only interpolates as a shape guard, train_eval.py:218-224).
     """
-    total = combined_loss(logits, targets, cfg, valid_mask)
+    lcf = _to_cf(logits)
+    total = _combined_loss_cf(lcf, targets, cfg, valid_mask)
     if not cfg.aux_branch_weights:
         return total
 
     fused_probs = None
     if cfg.consistency_weight > 0:
-        fused_probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        fused_probs = jax.nn.softmax(lcf, axis=1)
 
     for branch_name, weight in cfg.aux_branch_weights:
         branch = aux_logits.get(branch_name)
         if branch is None:
             continue
-        total = total + weight * combined_loss(branch, targets, cfg, valid_mask)
+        bcf = _to_cf(branch)
+        total = total + weight * _combined_loss_cf(bcf, targets, cfg,
+                                                   valid_mask)
         if fused_probs is not None:
-            branch_probs = jax.nn.softmax(branch.astype(jnp.float32), axis=-1)
+            branch_probs = jax.nn.softmax(bcf, axis=1)
             consistency = jnp.mean((branch_probs - fused_probs) ** 2)
             total = total + weight * cfg.consistency_weight * consistency
     return total
