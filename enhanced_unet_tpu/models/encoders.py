@@ -199,8 +199,45 @@ class MBConvBlock(nn.Module):
     drop_rate: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
+    def _pallas_infer(self, x_nchw):
+        """Fused two-pass Pallas inference path (ops/pallas/mbconv.py) on
+        an NCHW input, reading this block's own param tree — the stock
+        path below stays bit-identical and is the only one used for
+        init/training/CPU (the kernel has no VJP)."""
+        from enhanced_unet_tpu.ops.pallas.mbconv import (
+            fold_mbconv_weights,
+            mbconv_infer_nchw,
+        )
+
+        P = self.variables["params"]
+        S = self.variables["batch_stats"]
+
+        def bn(name):
+            return {"scale": P[name]["scale"], "bias": P[name]["bias"],
+                    "mean": S[name]["mean"], "var": S[name]["var"]}
+
+        if self.expand_ratio != 1:
+            w = {"expand": P["Conv_0"]["kernel"], "bn0": bn("BatchNorm_0"),
+                 "dw": P["Conv_1"]["kernel"], "bn1": bn("BatchNorm_1"),
+                 "se1": P["Conv_2"], "se2": P["Conv_3"],
+                 "project": P["Conv_4"]["kernel"], "bn2": bn("BatchNorm_2")}
+        else:
+            w = {"expand": None, "bn0": None,
+                 "dw": P["Conv_0"]["kernel"], "bn1": bn("BatchNorm_0"),
+                 "se1": P["Conv_1"], "se2": P["Conv_2"],
+                 "project": P["Conv_3"]["kernel"], "bn2": bn("BatchNorm_1")}
+        p = fold_mbconv_weights(w, x_nchw.shape[2], x_nchw.shape[3])
+        residual = (self.strides == (1, 1)
+                    and self.in_features == self.out_features)
+        return mbconv_infer_nchw(x_nchw.astype(jnp.bfloat16), p,
+                                 residual=residual)
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, nchw: bool = False):
+        if nchw:
+            # only reachable at inference on an already-initialised tree
+            # (EfficientNetEncoder routes it); params are read, not defined
+            return self._pallas_infer(x)
         # explicit names reproduce flax's auto-numbering from when the
         # depthwise was a plain nn.Conv, so checkpoints and the torch
         # importer (convert/torch_import.py) see an unchanged param tree
@@ -259,6 +296,10 @@ class EfficientNetEncoder(nn.Module):
     drop_connect_rate: float = 0.2
     # profiling ablation (benchmarks/): stop after this many stages (7=all)
     max_stages: int = 7
+    # route high-res stride-1 blocks through the fused Pallas MBConv at
+    # inference on TPU (ops/pallas/mbconv.py); stock XLA otherwise.
+    # "force" routes regardless of backend (CPU interpret-mode tests).
+    pallas_infer: Any = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -278,6 +319,19 @@ class EfficientNetEncoder(nn.Module):
         total_blocks = sum(_round_repeats(r, depth_mult) for _, _, r, _, _ in _EFFNET_BASE)
         block_idx = 0
         in_c = stem_c
+        # Fused-Pallas routing: high-res stride-1 k3 blocks (stages 0-1)
+        # run the two-pass NCHW kernel at inference on TPU; XLA's layouts
+        # for these shapes are 2-3% MFU (docs/ARCHITECTURE.md).  Stays on
+        # the stock path for init/training/CPU and everything else.
+        pallas_ok = (bool(self.pallas_infer) and not train
+                     and not self.is_initializing()
+                     and (self.pallas_infer == "force"
+                          or jax.default_backend() == "tpu"))
+        is_nchw = False  # current layout of y
+
+        def to_nhwc(y, is_nchw):
+            return (jnp.transpose(y, (0, 2, 3, 1)), False) if is_nchw else (y, False)
+
         # stride-2 transitions occur entering stages 2, 3, 4, 6 (0-indexed
         # 1, 2, 3, 5); capture the feature map just before each.
         stride2_stages = {1, 2, 3, 5}
@@ -289,14 +343,31 @@ class EfficientNetEncoder(nn.Module):
             for b in range(repeats):
                 strides = (s, s) if b == 0 else (1, 1)
                 if b == 0 and stage_idx in stride2_stages:
+                    y, is_nchw = to_nhwc(y, is_nchw)
                     feats.append(y)
                 drop = self.drop_connect_rate * block_idx / max(total_blocks, 1)
-                y = MBConvBlock(
+                block = MBConvBlock(
                     in_c, out_c, e, strides, k,
                     drop_rate=drop, dtype=self.dtype,
-                )(y, train)
+                )
+                # stage 0 only: the expand (ratio-6) blocks of stage 1
+                # measured ~4x SLOWER in the fused kernel (per-block trace
+                # in docs/ARCHITECTURE.md "Pallas verdict"); the ratio-1
+                # stage-0 blocks win (~1.6 vs ~2.5 ms at b16)
+                eligible = (pallas_ok and stage_idx == 0 and k == 3
+                            and strides == (1, 1)
+                            and y.shape[2 if is_nchw else 1] % 8 == 0)
+                if eligible:
+                    if not is_nchw:
+                        y = jnp.transpose(y, (0, 3, 1, 2))
+                        is_nchw = True
+                    y = block(y, train, nchw=True)
+                else:
+                    y, is_nchw = to_nhwc(y, is_nchw)
+                    y = block(y, train)
                 in_c = out_c
                 block_idx += 1
+        y, is_nchw = to_nhwc(y, is_nchw)
         feats.append(y)
         return feats
 
