@@ -16,6 +16,7 @@ from enhanced_unet_tpu.models.unet import BasicUNet, UNet
 from enhanced_unet_tpu.models.enhanced_unet import (
     DeepLabV3Plus,
     EnhancedUNet,
+    EnhancedUNetBasic,
     UNetPlusPlus,
 )
 from enhanced_unet_tpu.models.fcn import FCN, BasicFCN
@@ -27,6 +28,7 @@ _REGISTRY = {
     "unet": UNet,
     "unet_basic": BasicUNet,
     "enhanced_unet": EnhancedUNet,
+    "enhanced_unet_basic": EnhancedUNetBasic,
     "fcn": FCN,
     "fcn_basic": BasicFCN,
     "pspnet": PSPNet,
@@ -56,6 +58,7 @@ __all__ = [
     "UNet",
     "BasicUNet",
     "EnhancedUNet",
+    "EnhancedUNetBasic",
     "UNetPlusPlus",
     "DeepLabV3Plus",
     "FCN",

@@ -299,6 +299,10 @@ class EfficientNetEncoder(nn.Module):
     # route high-res stride-1 blocks through the fused Pallas MBConv at
     # inference on TPU (ops/pallas/mbconv.py); stock XLA otherwise.
     # "force" routes regardless of backend (CPU interpret-mode tests).
+    # CAVEAT: the Pallas kernel has no VJP — differentiating an eval-mode
+    # (train=False) forward on TPU (e.g. saliency maps) fails; set
+    # pallas_infer=False for that use.  Training (train=True) always takes
+    # the stock XLA path and is unaffected.
     pallas_infer: Any = True
     dtype: Dtype = jnp.bfloat16
 

@@ -29,6 +29,36 @@ from enhanced_unet_tpu.ops.resize import (
 )
 
 
+class EnhancedUNetBasic(nn.Module):
+    """The reference's non-smp EnhancedUNet fallback (models.py:304-314).
+
+    BasicUNet backbone plus a residual "enhance" head applied to the
+    logits: conv3(C->64)-BN-ReLU-conv1(64->C), added back residually
+    (models.py:334-339: `out = out + self.enhance(out)`).  No aux outputs
+    (the fallback sets _aux_outputs=None, models.py:313).
+    """
+
+    num_classes: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
+        from enhanced_unet_tpu.models.unet import BasicUNet
+
+        out, _ = BasicUNet(num_classes=self.num_classes, dtype=self.dtype)(
+            x, train
+        )
+        y = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32)(out.astype(self.dtype))
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32)(y)
+        return (out + y.astype(jnp.float32)), {}
+
+
 class NestedBlock(nn.Module):
     """UNet++ node: concat(same-level dense inputs, upsampled deeper node)
     -> DoubleConv -> scSE."""

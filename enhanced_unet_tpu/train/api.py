@@ -42,7 +42,12 @@ def _pad_shape(max_size: int) -> tuple:
 
 def _build_state(model_name: str, cfg: TrainConfig, steps_per_epoch: int,
                  pad_shape, dtype=jnp.bfloat16):
-    model = get_model(model_name, dtype=dtype)
+    kwargs = {}
+    if model_name == "enhanced_unet":
+        # thread the config switch to the model that implements the packed
+        # s2d decoder (EnhancedUNet -> UNetPlusPlus); others have no knob
+        kwargs["packed_decoder"] = cfg.model.packed_decoder
+    model = get_model(model_name, dtype=dtype, **kwargs)
     return create_train_state(
         model,
         cfg,
@@ -118,9 +123,19 @@ def train_model(
     val_ds = CellDataset(data_dir, split="val", max_size=max_size)
     pad_shape = _pad_shape(max_size)
     # global batch = per-replica batch x mesh size (cfg.batch_size is
-    # per-replica, matching the reference's single-device batch semantics)
+    # per-replica, matching the reference's single-device batch semantics).
+    # Multi-host: each process loads global/process_count samples for its
+    # own devices; make_global_batch assembles the global sharded arrays.
+    pc = jax.process_count()
+    global_batch = cfg.batch_size * n_dev
+    if global_batch % pc:
+        raise ValueError(
+            f"global batch {global_batch} (batch_size {cfg.batch_size} x "
+            f"num_devices {n_dev}) must divide process_count {pc}"
+        )
     train_loader = BatchLoader(
-        train_ds, cfg.batch_size * n_dev, pad_shape, train=True, seed=cfg.seed,
+        train_ds, global_batch // pc, pad_shape, train=True, seed=cfg.seed,
+        process_shard=(jax.process_index(), pc) if pc > 1 else None,
     )
     # the full Evaluator preprocesses each image itself at native size
     # (evaluator.py predict_semantic_mask), so its loader skips the padded
@@ -137,14 +152,16 @@ def train_model(
     if n_dev > 1:
         from enhanced_unet_tpu.parallel import (
             make_dp_train_step,
+            make_global_batch,
             make_mesh,
             replicate_state,
-            shard_batch,
         )
 
         mesh = make_mesh(n_dev)
         train_step = make_dp_train_step(cfg, mesh)  # jitted + donated inside
-        shard_train_batch = lambda leaves: shard_batch(leaves, mesh)  # noqa: E731
+        # single-process: device_put the global batch; multi-host: assemble
+        # per-process local batches into global arrays
+        shard_train_batch = lambda leaves: make_global_batch(leaves, mesh)  # noqa: E731
     else:
         train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
     eval_step = None if use_full_evaluator_gate else jax.jit(make_eval_step(cfg))
