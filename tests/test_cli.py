@@ -24,6 +24,7 @@ def data_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_eval_mode_end_to_end(data_dir, tmp_path):
     results_dir = str(tmp_path / "results")
     rc = main(

@@ -12,6 +12,8 @@ from synthdata import make_synthetic_dataset
 from enhanced_unet_tpu.config import get_preset
 from enhanced_unet_tpu.train.api import evaluate_model, train_model
 
+pytestmark = pytest.mark.slow  # compile-heavy lane (see pyproject.toml)
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):

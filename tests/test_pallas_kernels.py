@@ -6,10 +6,13 @@ import numpy as np
 import pytest
 
 from enhanced_unet_tpu.ops.pallas.conv_fused import (
+
     fold_bn_params,
     fused_conv3x3_bn_relu,
     fused_conv3x3_bn_relu_reference,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy lane (see pyproject.toml)
 
 
 @pytest.mark.parametrize("cin,cout", [(8, 16), (16, 8)])

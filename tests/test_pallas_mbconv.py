@@ -14,6 +14,8 @@ import pytest
 
 from enhanced_unet_tpu.models.encoders import EfficientNetEncoder, MBConvBlock
 
+pytestmark = pytest.mark.slow  # compile-heavy lane (see pyproject.toml)
+
 
 def _rel_err(got, ref):
     got, ref = np.asarray(got, np.float32), np.asarray(ref, np.float32)

@@ -57,6 +57,7 @@ def test_dp_step_runs_and_reduces(setup):
     assert p.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_update(setup):
     cfg, state, images, masks, valid = setup
     mesh = make_mesh(8)

@@ -26,6 +26,8 @@ from enhanced_unet_tpu.train.api import evaluate_model, train_model
 from enhanced_unet_tpu.train.evaluator import Evaluator
 from enhanced_unet_tpu.train.trainer import TrainState, create_train_state
 
+pytestmark = pytest.mark.slow  # compile-heavy lane (see pyproject.toml)
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):

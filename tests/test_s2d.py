@@ -161,6 +161,7 @@ def chex_tree_equal(a, b):
 
 
 class TestPackedUNetPlusPlus:
+    @pytest.mark.slow
     def test_full_branch_equivalence(self):
         x = _rand(20, (1, 64, 64, 3))
         plain = UNetPlusPlus(encoder_name="efficientnet-b0",

@@ -12,12 +12,15 @@ from enhanced_unet_tpu.config import get_preset
 from enhanced_unet_tpu.metrics.semantic import metrics_from_confusion
 from enhanced_unet_tpu.models import get_model
 from enhanced_unet_tpu.train.trainer import (
+
     compute_grad_norms,
     create_train_state,
     make_eval_step,
     make_train_step,
     param_grad_norms,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy lane (see pyproject.toml)
 
 
 @pytest.fixture(scope="module")
