@@ -79,6 +79,7 @@ class BatchLoader:
         drop_remainder: bool = False,
         preprocess: bool = True,
         prefetch: int = 2,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -88,6 +89,12 @@ class BatchLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.preprocess = preprocess
+        # multi-host: (process_index, process_count).  Each process iterates
+        # a disjoint stride-slice of the (identically seeded) epoch order,
+        # truncated so every process yields the SAME number of batches —
+        # required for the collective train step to stay in lockstep.
+        # batch_size is then PER PROCESS (global = batch_size * count).
+        self.process_shard = process_shard
         # background-thread prefetch depth: host decode of batch k+1 overlaps
         # the device step on batch k (JAX dispatch is async, so the produced
         # batches already have their device pipeline enqueued).  0 disables.
@@ -96,6 +103,8 @@ class BatchLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_shard is not None:
+            n = n // self.process_shard[1]
         if self.drop_remainder:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -152,9 +161,16 @@ class BatchLoader:
     def _make_batches(self) -> Iterator[Dict]:
         n = len(self.dataset)
         order = np.arange(n)
+        rank = 0
         if self.shuffle:
+            # seeded identically on every process so the per-epoch order
+            # (and hence the disjoint process shards) agree globally
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.process_shard is not None:
+            rank, world = self.process_shard
+            order = order[: n // world * world][rank::world]
+            n = len(order)
         self._epoch += 1
         ph, pw = self.pad_shape
 
@@ -180,7 +196,10 @@ class BatchLoader:
 
             if self.train and self.preprocess:
                 keys = jax.random.split(
-                    jax.random.key(hash((self.seed, self._epoch, start)) & 0x7FFFFFFF),
+                    # rank decorrelates augmentation noise across processes
+                    jax.random.key(
+                        hash((self.seed, self._epoch, start, rank)) & 0x7FFFFFFF
+                    ),
                     bs,
                 )
                 imgs_d, masks_d = _train_device_pipeline(

@@ -11,6 +11,7 @@ from enhanced_unet_tpu.parallel.mesh import make_mesh
 from enhanced_unet_tpu.parallel.data_parallel import (
     make_dp_train_step,
     replicate_state,
+    make_global_batch,
     shard_batch,
 )
 from enhanced_unet_tpu.parallel.tiled import tiled_inference_sharded
@@ -19,6 +20,7 @@ __all__ = [
     "make_mesh",
     "make_dp_train_step",
     "replicate_state",
+    "make_global_batch",
     "shard_batch",
     "tiled_inference_sharded",
 ]

@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -47,12 +48,59 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place every leaf of the train state replicated over the mesh."""
+    """Place every leaf of the train state replicated over the mesh.
+
+    Multi-host: every process holds the full (identically-initialized)
+    value, so the replicated global array is assembled from process-local
+    data; single-process is a plain device_put.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        state,
+    )
 
 
 def shard_batch(batch_leaves, mesh: Mesh, axis_name: str = "data"):
-    """Place [B, ...] arrays batch-sharded over the mesh axis."""
+    """Place GLOBAL [B, ...] arrays batch-sharded over the mesh axis.
+
+    Single-process only: `jax.device_put` cannot place data on another
+    host's devices.  Multi-host callers build per-process local batches
+    and assemble them with `make_global_batch` instead.
+    """
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            "shard_batch requires a single-process runtime; under "
+            "jax.distributed (process_count="
+            f"{jax.process_count()}) load a process-LOCAL batch "
+            "(BatchLoader(process_shard=...)) and assemble it with "
+            "make_global_batch()."
+        )
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch_leaves)
+
+
+def make_global_batch(local_leaves, mesh: Mesh, axis_name: str = "data"):
+    """Assemble per-process LOCAL batches into global batch-sharded arrays.
+
+    Each process passes its own [B_local, ...] leaves (B_global =
+    B_local * process_count); rows land on the process's addressable
+    devices via jax.make_array_from_process_local_data, so this works on
+    multi-host slices where device_put onto non-addressable devices
+    cannot.  Single-process, it degrades to shard_batch semantics.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    pc = jax.process_count()
+    if pc == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), local_leaves)
+
+    def put(x):
+        x = np.asarray(x)  # device->host once; required host-local input
+        global_shape = (x.shape[0] * pc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, local_leaves)
