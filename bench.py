@@ -10,10 +10,11 @@ dual-branch model (UNet++/efficientnet-b5 + DeepLabV3+/efficientnet-b4,
 ~66M params) at 512x512 inference in fp32 on one A100, documented in
 BASELINE.md.  vs_baseline = our images/sec / that estimate.
 
-Env knobs: BENCH_BATCH (default 8), BENCH_SIZE (512), BENCH_STEPS (20),
-BENCH_MODE (infer|train), BENCH_MODEL (enhanced_unet),
-BENCH_FUSION_STRIDE (1 = exact reference fusion-head placement; 2 = the
-documented fast-fusion variant).
+Env knobs: BENCH_BATCH (default 64), BENCH_SIZE (512), BENCH_STEPS (20),
+BENCH_REPS (3 timed repetitions; the median is reported), BENCH_MODE
+(infer|train|eval), BENCH_MODEL (enhanced_unet), BENCH_FUSION_STRIDE (1 =
+exact reference fusion-head placement; 2 = the documented fast-fusion
+variant).
 """
 
 import json
@@ -38,13 +39,22 @@ A100_REFERENCE_IPS = 55.0
 # Python loss loop of batch-1 kernels (train_eval.py:262-335) plus aux deep
 # supervision; 12 img/s is a generous A100 fp32 estimate.
 A100_REFERENCE_TRAIN_IPS = 12.0
+# Serving-path estimate: the reference evaluates one image at a time with 5
+# sequential batch-1 TTA forwards plus host-side CLAHE (train_eval.py:
+# 380-453, 570-652); ~55/5.4 view-cost with no batching headroom ≈ 8 img/s
+# on A100 fp32.  See BASELINE.md.
+A100_REFERENCE_EVAL_IPS = 8.0
 
 
 def main():
     # batch 64 is the measured throughput-optimal serving batch on v5e
     # (188.6 img/s vs 160.6 at 32 and 152.1 at 16; 96 OOMs at 18.9G of
     # 15.75G HBM) — reference fusion placement, round-2 packed decoder
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    mode_default_batch = {"infer": "64", "train": "64", "eval": "16"}
+    batch = int(os.environ.get(
+        "BENCH_BATCH",
+        mode_default_batch.get(os.environ.get("BENCH_MODE", "infer"), "64"),
+    ))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     mode = os.environ.get("BENCH_MODE", "infer")
@@ -96,11 +106,45 @@ def main():
 
         state = run_n(state, 1)  # compile
         _ = float(jnp.sum(state.step))  # sync
-        t0 = time.perf_counter()
-        state = run_n(state, steps)
-        _ = float(jnp.sum(state.step))  # sync via scalar fetch
-        dt = time.perf_counter() - t0
+        times = []
+        for _rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+            t0 = time.perf_counter()
+            state = run_n(state, steps)
+            _ = float(jnp.sum(state.step))  # sync via scalar fetch
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
         metric = f"{model_name}_{size}_train"
+    elif mode == "eval":
+        # the real serving path: enhance (CLAHE+sharpen) -> TTA (5 views,
+        # enhanced_unet only, train_eval.py:570-652 semantics) -> threshold
+        # cascade, batched end to end (Evaluator.predict_semantic_masks)
+        from types import SimpleNamespace
+
+        from enhanced_unet_tpu.train.evaluator import Evaluator
+
+        state = SimpleNamespace(
+            apply_fn=model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        ev = Evaluator(state, model_name, verbose=False)
+
+        @jax.jit
+        def run_n(params, batch_stats, x, n):
+            def body(i, carry):
+                masks = ev._batch_pipeline(params, batch_stats, x + carry * 0.0)
+                return jnp.mean(masks.astype(x.dtype))
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
+
+        _ = float(run_n(state.params, state.batch_stats, x, 1))  # compile
+        times = []
+        for _rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+            t0 = time.perf_counter()
+            checksum = float(run_n(state.params, state.batch_stats, x, steps))
+            times.append(time.perf_counter() - t0)
+            assert checksum == checksum, "NaN checksum"
+        dt = float(np.median(times))
+        metric = f"{model_name}_{size}_eval"
     else:
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
@@ -119,14 +163,20 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
 
         _ = float(run_n(params, batch_stats, x, 1))  # compile + sync
-        t0 = time.perf_counter()
-        checksum = float(run_n(params, batch_stats, x, steps))
-        dt = time.perf_counter() - t0
-        assert checksum == checksum, "NaN checksum"
+        times = []
+        for _rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+            t0 = time.perf_counter()
+            checksum = float(run_n(params, batch_stats, x, steps))
+            times.append(time.perf_counter() - t0)
+            assert checksum == checksum, "NaN checksum"
+        dt = float(np.median(times))
         metric = f"{model_name}_{size}_infer"
 
     ips = batch * steps / dt
-    baseline = A100_REFERENCE_TRAIN_IPS if mode == "train" else A100_REFERENCE_IPS
+    baseline = {
+        "train": A100_REFERENCE_TRAIN_IPS,
+        "eval": A100_REFERENCE_EVAL_IPS,
+    }.get(mode, A100_REFERENCE_IPS)
     print(json.dumps({
         "metric": f"{metric}_images_per_sec_per_chip",
         "value": round(ips, 2),

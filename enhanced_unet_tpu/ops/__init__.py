@@ -21,7 +21,7 @@ from enhanced_unet_tpu.ops.preprocess import (
 )
 from enhanced_unet_tpu.ops.augment import augment_batch, augment_train
 from enhanced_unet_tpu.ops.thresholding import convert_probs_to_mask
-from enhanced_unet_tpu.ops.tta import run_model_single, tta_probs
+from enhanced_unet_tpu.ops.tta import run_model_single, tta_probs, tta_probs_batch
 from enhanced_unet_tpu.ops.tiling import tiled_inference, tiled_semantic_mask
 
 __all__ = [
@@ -42,6 +42,7 @@ __all__ = [
     "convert_probs_to_mask",
     "run_model_single",
     "tta_probs",
+    "tta_probs_batch",
     "tiled_inference",
     "tiled_semantic_mask",
 ]

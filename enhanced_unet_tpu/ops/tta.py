@@ -68,3 +68,47 @@ def tta_probs(
         acc.append(resize_bilinear(p, (h, w)))
 
     return jnp.mean(jnp.stack(acc, axis=0), axis=0)
+
+
+def tta_probs_batch(
+    apply_fn: ApplyFn,
+    images: jnp.ndarray,
+    enable_tta: bool = True,
+    scales: Tuple[float, ...] = (0.75, 1.25),
+) -> jnp.ndarray:
+    """Batched TTA: [B,H,W,3] -> [B,H,W,C] averaged probabilities.
+
+    Identical math to per-image tta_probs (reference train_eval.py:419-453)
+    but every view of every image rides one large MXU-friendly forward: the
+    same-shape trio becomes a single [3B,...] batch, and each scale runs as
+    one [B,...] batch — 3 compiled programs total regardless of B, versus
+    the reference's 5 sequential batch-1 forwards per image.
+    """
+    b, h, w = images.shape[:3]
+
+    if not enable_tta:
+        padded, _ = pad_to_multiple(images, 32, mode="reflect")
+        logits = apply_fn(padded)
+        if logits.shape[1:3] != padded.shape[1:3]:
+            logits = resize_bilinear(logits, padded.shape[1:3])
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :h, :w]
+
+    trio = jnp.concatenate([images, images[:, :, ::-1], images[:, ::-1]])
+    padded, _ = pad_to_multiple(trio, 32, mode="reflect")
+    logits = apply_fn(padded)
+    if logits.shape[1:3] != padded.shape[1:3]:
+        logits = resize_bilinear(logits, padded.shape[1:3])
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :h, :w]
+    acc = [probs[:b], probs[b : 2 * b][:, :, ::-1], probs[2 * b :][:, ::-1]]
+
+    for s in scales:
+        sh, sw = int(h * s), int(w * s)
+        scaled = resize_bilinear(images, (sh, sw))
+        padded, _ = pad_to_multiple(scaled, 32, mode="reflect")
+        logits = apply_fn(padded)
+        if logits.shape[1:3] != padded.shape[1:3]:
+            logits = resize_bilinear(logits, padded.shape[1:3])
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, :sh, :sw]
+        acc.append(resize_bilinear(p, (h, w)))
+
+    return jnp.mean(jnp.stack(acc, axis=0), axis=0)

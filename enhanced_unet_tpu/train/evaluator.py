@@ -29,7 +29,7 @@ from enhanced_unet_tpu.metrics.semantic import calculate_semantic_metrics
 from enhanced_unet_tpu.metrics.viability import calculate_viability_metrics
 from enhanced_unet_tpu.ops.preprocess import eval_preprocess
 from enhanced_unet_tpu.ops.thresholding import convert_probs_to_mask
-from enhanced_unet_tpu.ops.tta import run_model_single, tta_probs
+from enhanced_unet_tpu.ops.tta import run_model_single, tta_probs, tta_probs_batch
 
 _METRIC_KEYS = (
     "sem_mean_iou", "sem_mean_dice",
@@ -96,6 +96,22 @@ class Evaluator:
 
             return run_model_single(apply_fn, img)
 
+        def batch_pipeline(params, batch_stats, imgs):
+            # [B,H,W,3] -> [B,H,W] int masks; every TTA view of every image
+            # rides one large forward (see ops.tta.tta_probs_batch), the
+            # cascade is vmapped so its density statistics stay per-image
+            def apply_fn(x):
+                logits, _ = apply_raw(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False,
+                )
+                return logits
+
+            enhanced = jax.vmap(
+                lambda im: eval_preprocess(im * 255.0) / 255.0)(imgs)
+            probs = tta_probs_batch(apply_fn, enhanced, self.enable_tta)
+            return jax.vmap(convert_probs_to_mask)(probs)
+
         def enhance(img):
             # native-size CLAHE+sharpen (train_eval.py:380-392)
             return eval_preprocess(img * 255.0) / 255.0
@@ -115,6 +131,7 @@ class Evaluator:
                 apply_fn(tiles).astype(jnp.float32), axis=-1)
 
         self._pipeline = jax.jit(pipeline)
+        self._batch_pipeline = jax.jit(batch_pipeline)
         self._probs_pipeline = jax.jit(probs_pipeline)
         self._enhance = jax.jit(enhance)
         self._tile_fwd = jax.jit(tile_fwd)
@@ -139,6 +156,18 @@ class Evaluator:
             self._pipeline(
                 self.state.params, self.state.batch_stats,
                 jnp.asarray(image01, jnp.float32),
+            )
+        )
+
+    def predict_semantic_masks(self, images01: np.ndarray) -> np.ndarray:
+        """Batched serving path: [B,H,W,3] float in [0,1] -> int masks
+        [B,H,W].  Same enhance->TTA->cascade semantics as
+        predict_semantic_mask, but the whole batch shares each forward —
+        the throughput path for uniform-size serving (BENCH_MODE=eval)."""
+        return np.asarray(
+            self._batch_pipeline(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(images01, jnp.float32),
             )
         )
 

@@ -229,3 +229,18 @@ def test_evaluator_update_state_changes_predictions(rng):
     ev.update_state(bumped)
     p2 = ev.predict_probs(img)
     assert not np.allclose(p1, p2)
+
+
+def test_evaluator_batched_matches_per_image(rng):
+    """predict_semantic_masks (the BENCH_MODE=eval serving path) must equal
+    per-image predict_semantic_mask: same enhance->TTA->cascade semantics,
+    just batched onto one forward per view-group."""
+    state = _tiny_state()
+    for tta in (False, True):
+        ev = Evaluator(state, "unet_basic", enable_tta=tta, verbose=False)
+        imgs = rng.random((3, 64, 64, 3)).astype(np.float32)
+        batched = ev.predict_semantic_masks(imgs)
+        assert batched.shape == (3, 64, 64)
+        for i in range(3):
+            single = ev.predict_semantic_mask(imgs[i])
+            np.testing.assert_array_equal(batched[i], single)

@@ -56,3 +56,29 @@ def test_multiscale_runs(rng):
     tta = tta_probs(_mean_model, img, enable_tta=True, scales=(0.75, 1.25))
     assert tta.shape == (64, 64, 3)
     np.testing.assert_allclose(np.asarray(tta.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_tta_batch_matches_per_image(rng):
+    """tta_probs_batch == per-image tta_probs for each batch element."""
+    from enhanced_unet_tpu.ops.tta import tta_probs_batch
+
+    imgs = jnp.asarray(rng.random((3, 64, 64, 3)), jnp.float32)
+    batched = tta_probs_batch(
+        _asymmetric_model, imgs, enable_tta=True, scales=(0.75, 1.25))
+    assert batched.shape == (3, 64, 64, 3)
+    for i in range(3):
+        single = tta_probs(
+            _asymmetric_model, imgs[i], enable_tta=True, scales=(0.75, 1.25))
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single), atol=1e-5)
+
+
+def test_tta_batch_disabled_matches_per_image(rng):
+    from enhanced_unet_tpu.ops.tta import tta_probs_batch
+
+    imgs = jnp.asarray(rng.random((2, 30, 45, 3)), jnp.float32)
+    batched = tta_probs_batch(_asymmetric_model, imgs, enable_tta=False)
+    for i in range(2):
+        single = run_model_single(_asymmetric_model, imgs[i])
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single), atol=1e-6)
