@@ -152,11 +152,15 @@ class DepthwiseConv(nn.Module):
     v5e (23 vs 17 ms for effnet-b5 stages 0-1 despite winning standalone —
     the padded materialisation defeats XLA's fusion), so the default stays
     lax.conv; the module exists to pin the depthwise param name and as the
-    routing point for fused kernels."""
+    routing point for fused kernels.
+
+    dilation > 1 supports the output_stride-16 encoder mode (smp
+    make_dilated equivalent) used by the DeepLabV3+ branch."""
 
     features: int
     kernel: int
     strides: Tuple[int, int] = (1, 1)
+    dilation: int = 1
     shift_fma: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -168,9 +172,10 @@ class DepthwiseConv(nn.Module):
             (k, k, 1, self.features), jnp.float32)
         kb = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        if not self.shift_fma or self.strides != (1, 1):
+        if not self.shift_fma or self.strides != (1, 1) or self.dilation != 1:
             return jax.lax.conv_general_dilated(
                 x, kb, self.strides, "SAME", feature_group_count=self.features,
+                rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         p = k // 2
         xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
@@ -197,6 +202,7 @@ class MBConvBlock(nn.Module):
     kernel: int
     se_ratio: float = 0.25
     drop_rate: float = 0.0
+    dilation: int = 1
     dtype: Dtype = jnp.bfloat16
 
     def _pallas_infer(self, x_nchw):
@@ -259,7 +265,8 @@ class MBConvBlock(nn.Module):
                         name=f"Conv_{next(ci)}")(y)
             y = nn.silu(bn(y))
         # depthwise (see DepthwiseConv for the TPU lowering choice)
-        y = DepthwiseConv(mid, self.kernel, self.strides, dtype=self.dtype,
+        y = DepthwiseConv(mid, self.kernel, self.strides,
+                          dilation=self.dilation, dtype=self.dtype,
                           name=f"Conv_{next(ci)}")(y)
         y = nn.silu(bn(y))
         # squeeze-excitation (the spatial mean fuses into XLA's depthwise
@@ -290,10 +297,22 @@ class MBConvBlock(nn.Module):
 
 
 class EfficientNetEncoder(nn.Module):
-    """EfficientNet feature pyramid [input, s2, s4, s8, s16, s32]."""
+    """EfficientNet feature pyramid [input, s2, s4, s8, s16, s32].
+
+    The stride-2 feature is the STEM output (before the stage-0 MBConvs),
+    matching smp's EfficientNet encoder stage boundaries (b5 channels
+    (3, 48, 40, 64, 176, 512)) so reference checkpoints and the reference's
+    decoder channel arithmetic transfer exactly.
+
+    output_stride=16 reproduces smp's encoder.make_dilated: the last
+    stride-2 transition (entering stage 5) keeps stride 1 and stages 5-6
+    run their depthwise convs with dilation 2, so the deepest feature stays
+    at stride 16 — what smp.DeepLabV3Plus(output_stride=16) does.
+    """
 
     variant: str = "efficientnet-b5"
     drop_connect_rate: float = 0.2
+    output_stride: int = 32
     # profiling ablation (benchmarks/): stop after this many stages (7=all)
     max_stages: int = 7
     # route high-res stride-1 blocks through the fused Pallas MBConv at
@@ -319,6 +338,8 @@ class EfficientNetEncoder(nn.Module):
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(y)
         y = nn.silu(y)
+        # stride-2 tap = stem output (smp stage boundary; b5: 48ch)
+        feats.append(y)
 
         total_blocks = sum(_round_repeats(r, depth_mult) for _, _, r, _, _ in _EFFNET_BASE)
         block_idx = 0
@@ -336,9 +357,13 @@ class EfficientNetEncoder(nn.Module):
         def to_nhwc(y, is_nchw):
             return (jnp.transpose(y, (0, 2, 3, 1)), False) if is_nchw else (y, False)
 
-        # stride-2 transitions occur entering stages 2, 3, 4, 6 (0-indexed
-        # 1, 2, 3, 5); capture the feature map just before each.
-        stride2_stages = {1, 2, 3, 5}
+        # stride-2 transitions occur entering stages 1, 2, 3, 5 (0-indexed);
+        # the smp stage boundaries tap features just before the transitions
+        # entering stages 2, 3, 5 (the stride-2 tap is the stem, above).
+        tap_stages = {2, 3, 5}
+        # output_stride 16: the transition entering stage 5 keeps stride 1
+        # and stages 5-6 dilate their depthwise convs (smp make_dilated)
+        dilated_stages = {5, 6} if self.output_stride == 16 else set()
         for stage_idx, (e, c, r, s, k) in enumerate(_EFFNET_BASE):
             if stage_idx >= self.max_stages:
                 break
@@ -346,13 +371,17 @@ class EfficientNetEncoder(nn.Module):
             repeats = _round_repeats(r, depth_mult)
             for b in range(repeats):
                 strides = (s, s) if b == 0 else (1, 1)
-                if b == 0 and stage_idx in stride2_stages:
+                dilation = 1
+                if stage_idx in dilated_stages:
+                    strides = (1, 1)
+                    dilation = 2
+                if b == 0 and stage_idx in tap_stages:
                     y, is_nchw = to_nhwc(y, is_nchw)
                     feats.append(y)
                 drop = self.drop_connect_rate * block_idx / max(total_blocks, 1)
                 block = MBConvBlock(
                     in_c, out_c, e, strides, k,
-                    drop_rate=drop, dtype=self.dtype,
+                    drop_rate=drop, dilation=dilation, dtype=self.dtype,
                 )
                 # stage 0 only: the expand (ratio-6) blocks of stage 1
                 # measured ~4x SLOWER in the fused kernel (per-block trace
@@ -376,9 +405,11 @@ class EfficientNetEncoder(nn.Module):
         return feats
 
 
-def build_encoder(name: str, depth: int = 5, dtype: Dtype = jnp.bfloat16):
+def build_encoder(name: str, depth: int = 5, output_stride: int = 32,
+                  dtype: Dtype = jnp.bfloat16):
     if name.startswith("resnet"):
         return ResNetEncoder(variant=name, depth=depth, dtype=dtype)
     if name.startswith("efficientnet"):
-        return EfficientNetEncoder(variant=name, dtype=dtype)
+        return EfficientNetEncoder(variant=name, output_stride=output_stride,
+                                   dtype=dtype)
     raise ValueError(f"unknown encoder {name}")

@@ -174,11 +174,18 @@ class UNetPlusPlus(nn.Module):
 
 
 class DeepLabV3Plus(nn.Module):
-    """ASPP context head + low-level feature fusion decoder."""
+    """ASPP context head + low-level feature fusion decoder.
+
+    output_stride=16 matches smp.DeepLabV3Plus's default (the reference
+    models.py:268-275 passes no override): the encoder's last downsampling
+    is replaced by dilation, so ASPP sees stride-16 features with rates
+    (12, 24, 36).
+    """
 
     num_classes: int = 3
     encoder_name: str = "efficientnet-b4"
     aspp_channels: int = 256
+    output_stride: int = 16
     remat: bool = False
     dtype: Any = jnp.bfloat16
 
@@ -189,6 +196,7 @@ class DeepLabV3Plus(nn.Module):
             if self.remat else EfficientNetEncoder
         )
         feats = enc_cls(variant=self.encoder_name,
+                        output_stride=self.output_stride,
                         dtype=self.dtype)(x, train)
         y = ASPP(self.aspp_channels, dtype=self.dtype)(feats[-1], train)
         low = feats[2]  # stride 4

@@ -228,13 +228,16 @@ class _TorchEfficientNet(tnn.Module):
         self._conv_stem = tnn.Conv2d(3, stem_c, 3, 2, bias=False)
         self._bn0 = tnn.BatchNorm2d(stem_c, eps=1e-3)
         blocks = []
-        self._capture = []  # flattened indices where a stride-2 stage begins
+        # smp stage boundaries (EfficientNetEncoder.get_stages): the stride-2
+        # feature is the STEM output; deeper taps are just before the blocks
+        # starting stages 2, 3 and 5 (= after stages 1, 2, 4).
+        self._capture = []
         cin = stem_c
-        stride2_stages = {1, 2, 3, 5}
+        tap_stages = {2, 3, 5}
         for si, (e, c, r, s, k) in enumerate(_EFFNET_BASE):
             cout = _round_filters(c, wm)
             for b in range(_round_repeats(r, dm)):
-                if b == 0 and si in stride2_stages:
+                if b == 0 and si in tap_stages:
                     self._capture.append(len(blocks))
                 blocks.append(
                     _TorchMBConv(cin, cout, e, s if b == 0 else 1, k))
@@ -245,6 +248,7 @@ class _TorchEfficientNet(tnn.Module):
         feats = [x]
         y = _tf_same_pad(x, 3, 2)
         y = F.silu(self._bn0(self._conv_stem(y)))
+        feats.append(y)  # stride-2 tap = stem output (smp stage boundary)
         for i, blk in enumerate(self._blocks):
             if i in self._capture:
                 feats.append(y)
