@@ -11,10 +11,14 @@ encoders so pretrained initialization / reference checkpoints are usable:
 - efficientnet-pytorch-layout state dicts -> models.encoders.EfficientNetEncoder
   (smp's EfficientNet encoders use that package's `_blocks.N._expand_conv`
   naming)
-- `load_torch_checkpoint`: best-effort import of a reference training
-  checkpoint dict {epoch, model_state_dict, ...} — encoder weights are
-  grafted into the matching submodules; decoder/head weights whose
-  architecture differs from our TPU-native decoders are reported as skipped.
+- `load_torch_checkpoint`: import of a reference training checkpoint dict
+  {epoch, model_state_dict, ...}.  For enhanced_unet this is a COMPLETE
+  import — both smp branches (encoders + UNet++/DeepLabV3+ decoders +
+  segmentation heads) and the fusion stage (attention gate, fusion head,
+  residual conv) all map onto our smp-exact Flax decoders, so a reference
+  .pth reproduces reference logits (tests/test_smp_parity.py).  For the
+  basic zoo slots, encoder weights are grafted and decoder weights whose
+  architecture differs are reported as skipped.
 
 Padding semantics: our ResNet convs use torchvision's symmetric k//2
 padding (ConvBNAct(padding="torch")) and our EfficientNet convs use
@@ -193,6 +197,206 @@ def convert_efficientnet(sd: Mapping[str, Any], variant: str) -> Tuple[Dict, Dic
 
 
 # ---------------------------------------------------------------------------
+# smp decoder / fusion conversion (full reference-checkpoint import)
+# ---------------------------------------------------------------------------
+
+def _conv(sd: Mapping[str, Any], key: str, bias: bool = True) -> Dict:
+    c = {"kernel": _conv_kernel(sd[f"{key}.weight"])}
+    if bias and f"{key}.bias" in sd:
+        c["bias"] = _np(sd[f"{key}.bias"])
+    return c
+
+
+def _bn(sd: Mapping[str, Any], key: str) -> Tuple[Dict, Dict]:
+    return (
+        {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])},
+        {"mean": _np(sd[f"{key}.running_mean"]),
+         "var": _np(sd[f"{key}.running_var"])},
+    )
+
+
+def _scse(sd: Mapping[str, Any], prefix: str) -> Dict:
+    """smp SCSEModule (attention{1,2}.attention.{cSE,sSE}) ->
+    models.blocks.SCSEBlock params {Conv_0, Conv_1, Conv_2}."""
+    return {
+        "Conv_0": _conv(sd, f"{prefix}.cSE.1"),
+        "Conv_1": _conv(sd, f"{prefix}.cSE.3"),
+        "Conv_2": _conv(sd, f"{prefix}.sSE.0"),
+    }
+
+
+def _conv2drelu(sd: Mapping[str, Any], prefix: str) -> Tuple[Dict, Dict]:
+    """smp md.Conv2dReLU (Sequential conv(0), bn(1), relu) -> ConvBNAct."""
+    bn_p, bn_s = _bn(sd, f"{prefix}.1")
+    return (
+        {"Conv_0": _conv(sd, f"{prefix}.0", bias=False),
+         "BatchNorm_0": bn_p},
+        {"BatchNorm_0": bn_s},
+    )
+
+
+def _sepconv_bn(sd: Mapping[str, Any], dw_key: str, pw_key: str,
+                bn_key: str) -> Tuple[Dict, Dict]:
+    """smp SeparableConv2d(+BN+ReLU) -> models.blocks.SeparableConvBNAct
+    {Conv_0 depthwise, Conv_1 pointwise, BatchNorm_0}."""
+    bn_p, bn_s = _bn(sd, bn_key)
+    return (
+        {"Conv_0": _conv(sd, dw_key, bias=False),
+         "Conv_1": _conv(sd, pw_key, bias=False),
+         "BatchNorm_0": bn_p},
+        {"BatchNorm_0": bn_s},
+    )
+
+
+def _decoder_block(sd: Mapping[str, Any], prefix: str,
+                   scse: bool = True) -> Tuple[Dict, Dict]:
+    """smp unet/unet++ DecoderBlock -> NestedBlock subtree
+    {SCSEBlock_0 (attention1), DoubleConv_0 (conv1+conv2),
+    SCSEBlock_1 (attention2)}."""
+    c1p, c1s = _conv2drelu(sd, f"{prefix}.conv1")
+    c2p, c2s = _conv2drelu(sd, f"{prefix}.conv2")
+    params: Dict[str, Any] = {
+        "DoubleConv_0": {"ConvBNAct_0": c1p, "ConvBNAct_1": c2p},
+    }
+    stats: Dict[str, Any] = {
+        "DoubleConv_0": {"ConvBNAct_0": c1s, "ConvBNAct_1": c2s},
+    }
+    if scse:
+        params["SCSEBlock_0"] = _scse(sd, f"{prefix}.attention1.attention")
+        params["SCSEBlock_1"] = _scse(sd, f"{prefix}.attention2.attention")
+    return params, stats
+
+
+def convert_unetpp_decoder(sd: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """smp UnetPlusPlusDecoder + SegmentationHead state dict (keys
+    `decoder.blocks.x_{d}_{l}.*`, `segmentation_head.0.*`) -> the
+    non-encoder part of our UNetPlusPlus param/stat trees.
+
+    Node map (see UNetPlusPlus docstring): our grid (i, j), enumerated
+    j-major as NestedBlock_{idx}, equals smp's x_{4-i-j}_{3-i}.  The head
+    (smp x_0_4, no skip -> no attention1) maps onto DoubleConv_0 /
+    SCSEBlock_0 / Conv_0 at the UNetPlusPlus scope."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    idx = 0
+    for j in range(1, 5):
+        for i in range(0, 5 - j):
+            d, l = 4 - i - j, 3 - i
+            bp, bs = _decoder_block(sd, f"decoder.blocks.x_{d}_{l}")
+            params[f"NestedBlock_{idx}"] = bp
+            stats[f"NestedBlock_{idx}"] = bs
+            idx += 1
+    # head block x_0_4: conv1/conv2 + attention2 (attention1 has params in
+    # the torch dict but is unused — skip is None in forward)
+    hp, hs = _decoder_block(sd, "decoder.blocks.x_0_4", scse=False)
+    params["DoubleConv_0"] = hp["DoubleConv_0"]
+    stats["DoubleConv_0"] = hs["DoubleConv_0"]
+    params["SCSEBlock_0"] = _scse(sd, "decoder.blocks.x_0_4.attention2.attention")
+    params["Conv_0"] = _conv(sd, "segmentation_head.0")
+    return params, stats
+
+
+def convert_deeplab_decoder(sd: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """smp DeepLabV3PlusDecoder + SegmentationHead state dict (keys
+    `decoder.aspp.*`, `decoder.block1/2.*`, `segmentation_head.0.*`) ->
+    the non-encoder part of our DeepLabV3Plus param/stat trees."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    aspp_p: Dict[str, Any] = {}
+    aspp_s: Dict[str, Any] = {}
+    # branch 0: 1x1 conv
+    aspp_p["ConvBNAct_0"], aspp_s["ConvBNAct_0"] = _conv2drelu(
+        sd, "decoder.aspp.0.convs.0")
+    # branches 1-3: separable dilated convs (ASPPSeparableConv =
+    # Sequential(SeparableConv2d(0.{0,1}), BN(1), ReLU))
+    for b in range(1, 4):
+        p = f"decoder.aspp.0.convs.{b}"
+        aspp_p[f"SeparableConvBNAct_{b - 1}"], \
+            aspp_s[f"SeparableConvBNAct_{b - 1}"] = _sepconv_bn(
+                sd, f"{p}.0.0", f"{p}.0.1", f"{p}.1")
+    # pooling branch (Sequential(pool(0), conv(1), bn(2), relu))
+    pool_bn_p, pool_bn_s = _bn(sd, "decoder.aspp.0.convs.4.2")
+    aspp_p["ConvBNAct_1"] = {
+        "Conv_0": _conv(sd, "decoder.aspp.0.convs.4.1", bias=False),
+        "BatchNorm_0": pool_bn_p,
+    }
+    aspp_s["ConvBNAct_1"] = {"BatchNorm_0": pool_bn_s}
+    # projection
+    aspp_p["ConvBNAct_2"], aspp_s["ConvBNAct_2"] = _conv2drelu(
+        sd, "decoder.aspp.0.project")
+    params["ASPP_0"], stats["ASPP_0"] = aspp_p, aspp_s
+
+    # post-ASPP separable conv (decoder.aspp.{1 sepconv, 2 BN, 3 ReLU})
+    params["SeparableConvBNAct_0"], stats["SeparableConvBNAct_0"] = \
+        _sepconv_bn(sd, "decoder.aspp.1.0", "decoder.aspp.1.1",
+                    "decoder.aspp.2")
+    # block1 (1x1 on the stride-4 skip)
+    params["ConvBNAct_0"], stats["ConvBNAct_0"] = _conv2drelu(
+        sd, "decoder.block1")
+    # block2 (separable conv on the concat)
+    params["SeparableConvBNAct_1"], stats["SeparableConvBNAct_1"] = \
+        _sepconv_bn(sd, "decoder.block2.0.0", "decoder.block2.0.1",
+                    "decoder.block2.1")
+    params["Conv_0"] = _conv(sd, "segmentation_head.0")
+    return params, stats
+
+
+def convert_smp_unetpp(sd: Mapping[str, Any],
+                       variant: str = "efficientnet-b5") -> Tuple[Dict, Dict]:
+    """smp.UnetPlusPlus state dict (encoder.*, decoder.*,
+    segmentation_head.*) -> full trees for our UNetPlusPlus module."""
+    enc_p, enc_s = convert_efficientnet(_strip_prefix(sd, "encoder."), variant)
+    dec_p, dec_s = convert_unetpp_decoder(sd)
+    return ({"EfficientNetEncoder_0": enc_p, **dec_p},
+            {"EfficientNetEncoder_0": enc_s, **dec_s})
+
+
+def convert_smp_deeplab(sd: Mapping[str, Any],
+                        variant: str = "efficientnet-b4") -> Tuple[Dict, Dict]:
+    """smp.DeepLabV3Plus state dict -> full trees for our DeepLabV3Plus."""
+    enc_p, enc_s = convert_efficientnet(_strip_prefix(sd, "encoder."), variant)
+    dec_p, dec_s = convert_deeplab_decoder(sd)
+    return ({"EfficientNetEncoder_0": enc_p, **dec_p},
+            {"EfficientNetEncoder_0": enc_s, **dec_s})
+
+
+def convert_enhanced_unet(sd: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """Full reference EnhancedUNet state dict (models.py:246-343 smp branch:
+    unetpp.*, deeplab.*, attention_gate.*, fusion_head.*, fusion_residual)
+    -> complete (params, batch_stats) trees for models.EnhancedUNet."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["UNetPlusPlus_0"], stats["UNetPlusPlus_0"] = convert_smp_unetpp(
+        _strip_prefix(sd, "unetpp."), "efficientnet-b5")
+    params["DeepLabV3Plus_0"], stats["DeepLabV3Plus_0"] = convert_smp_deeplab(
+        _strip_prefix(sd, "deeplab."), "efficientnet-b4")
+
+    # --- attention gate (models.py:278-285; Sequential conv(0), bn(1),
+    # gelu, conv(3), bn(4), sigmoid) ---
+    params["Conv_0"] = _conv(sd, "attention_gate.0", bias=False)
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "attention_gate.1")
+    params["Conv_1"] = _conv(sd, "attention_gate.3", bias=False)
+    params["BatchNorm_1"], stats["BatchNorm_1"] = _bn(sd, "attention_gate.4")
+
+    # --- fusion head (models.py:287-300; Sequential conv(0), bn(1), relu,
+    # dropout, conv(4), bn(5), relu, dropout, conv(8), bn(9), relu,
+    # conv(11)) ---
+    for k, off in enumerate((0, 4, 8)):
+        bn_p, bn_s = _bn(sd, f"fusion_head.{off + 1}")
+        params[f"ConvBNAct_{k}"] = {
+            "Conv_0": _conv(sd, f"fusion_head.{off}", bias=False),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"ConvBNAct_{k}"] = {"BatchNorm_0": bn_s}
+    params["Conv_2"] = _conv(sd, "fusion_head.11")
+    # --- residual path (models.py:302) ---
+    params["Conv_3"] = _conv(sd, "fusion_residual")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # grafting converted subtrees into full model variable trees
 # ---------------------------------------------------------------------------
 
@@ -301,6 +505,39 @@ def load_torch_checkpoint(path_or_dict, state, model_name: str):
     base = model_name[:-6] if model_name.endswith("_basic") else model_name
     enc_map = _ENCODER_MAP.get(base, {})
 
+    meta = {
+        "epoch": int(ckpt.get("epoch", 0)),
+        "best_miou": float(ckpt.get("best_miou", 0.0)),
+        "best_loss": float(ckpt.get("best_loss", 0.0)),
+        "history": ckpt.get("history", {}),
+    }
+
+    if base == "enhanced_unet" and any(
+            k.startswith("unetpp.encoder.") for k in sd):
+        # COMPLETE import: both branches' encoders + smp decoders +
+        # attention gate / fusion head / residual (train_eval.py:1188-1202
+        # loads the full model_state_dict; so do we).  Our decoders are
+        # smp-exact, so every functional weight maps; the only leftovers
+        # are the head block's attention1 params, which smp creates but
+        # never calls (DecoderBlock.forward skips attention1 when skip is
+        # None).
+        import jax.numpy as jnp
+        import jax as _jax
+
+        full_p, full_s = convert_enhanced_unet(sd)
+        _check_shapes(state.params, full_p, "params")
+        _check_shapes(state.batch_stats, full_s, "batch_stats")
+        new_state = state.replace(
+            params=_jax.tree.map(jnp.asarray, full_p),
+            batch_stats=_jax.tree.map(jnp.asarray, full_s),
+        )
+        skipped = sorted(k for k in sd if ".x_0_4.attention1." in k)
+        return new_state, {
+            "imported": ["<full enhanced_unet state dict>"],
+            "skipped": skipped,
+            "meta": meta,
+        }
+
     params, stats = state.params, state.batch_stats
     imported: List[str] = []
     consumed: set = set()
@@ -315,12 +552,6 @@ def load_torch_checkpoint(path_or_dict, state, model_name: str):
         consumed.update(k for k in sd if k.startswith(prefix))
 
     skipped = sorted({k.split(".")[0] for k in sd if k not in consumed})
-    meta = {
-        "epoch": int(ckpt.get("epoch", 0)),
-        "best_miou": float(ckpt.get("best_miou", 0.0)),
-        "best_loss": float(ckpt.get("best_loss", 0.0)),
-        "history": ckpt.get("history", {}),
-    }
     new_state = state.replace(params=params, batch_stats=stats)
     report = {"imported": imported, "skipped": skipped, "meta": meta}
     return new_state, report

@@ -217,10 +217,50 @@ class SeparableConvBNAct(nn.Module):
         return nn.relu(x)
 
 
+class SeparableConvBNAct(nn.Module):
+    """Depthwise (optionally dilated) 3x3 -> pointwise 1x1 -> BN -> ReLU.
+
+    smp's SeparableConv2d + BN + ReLU unit (depthwise bias=False, pointwise
+    bias per `pointwise_bias`), used by its DeepLabV3+ ASPP branches and
+    decoder blocks.  For stride 1 the TF-SAME padding equals torch's
+    symmetric padding=dilation, so imported weights reproduce torch
+    exactly."""
+
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    pointwise_bias: bool = False
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        x = nn.Conv(
+            cin, (self.kernel, self.kernel),
+            padding="SAME",
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=cin,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=self.pointwise_bias,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
 class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling (DeepLabV3+ context head): 1x1 conv,
-    three dilated 3x3 convs, and a global-pool image feature, fused by a
-    1x1 projection."""
+    """Atrous spatial pyramid pooling, smp-exact (smp
+    decoders/deeplabv3/decoder.py ASPP with separable=True, the
+    DeepLabV3Plus configuration): a 1x1 conv branch, three SEPARABLE
+    dilated 3x3 branches, and a global-pool image feature, fused by a 1x1
+    projection followed by Dropout(0.5)."""
 
     features: int = 256
     rates: Sequence[int] = (12, 24, 36)
@@ -231,27 +271,17 @@ class ASPP(nn.Module):
         h, w = x.shape[1], x.shape[2]
         branches = [ConvBNAct(self.features, (1, 1), dtype=self.dtype)(x, train)]
         for r in self.rates:
-            c = x.shape[-1]
-            y = nn.Conv(
-                self.features,
-                (3, 3),
-                padding="SAME",
-                kernel_dilation=(r, r),
-                use_bias=False,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-            )(x)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32)(y)
-            branches.append(nn.relu(y))
-        # image-level pooling branch
+            branches.append(
+                SeparableConvBNAct(self.features, dilation=r,
+                                   dtype=self.dtype)(x, train))
+        # image-level pooling branch (bilinear resize from 1x1 == broadcast)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = ConvBNAct(self.features, (1, 1), dtype=self.dtype)(g, train)
         g = jnp.broadcast_to(g, (x.shape[0], h, w, self.features)).astype(x.dtype)
         branches.append(g)
         y = jnp.concatenate(branches, axis=-1)
-        return ConvBNAct(self.features, (1, 1), dtype=self.dtype)(y, train)
+        y = ConvBNAct(self.features, (1, 1), dtype=self.dtype)(y, train)
+        return nn.Dropout(0.5, deterministic=not train)(y)
 
 
 class PSPModule(nn.Module):

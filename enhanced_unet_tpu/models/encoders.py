@@ -387,9 +387,14 @@ class EfficientNetEncoder(nn.Module):
                 # measured ~4x SLOWER in the fused kernel (per-block trace
                 # in docs/ARCHITECTURE.md "Pallas verdict"); the ratio-1
                 # stage-0 blocks win (~1.6 vs ~2.5 ms at b16)
+                # gate: H multiple of 8 (sublane block rows) AND W multiple
+                # of 128 (lane width — Mosaic rejects the kernel's
+                # [mid, bh*w] reshape for narrower maps, observed at 32x32)
+                h_dim, w_dim = (2, 3) if is_nchw else (1, 2)
                 eligible = (pallas_ok and stage_idx == 0 and k == 3
                             and strides == (1, 1)
-                            and y.shape[2 if is_nchw else 1] % 8 == 0)
+                            and y.shape[h_dim] % 8 == 0
+                            and y.shape[w_dim] % 128 == 0)
                 if eligible:
                     if not is_nchw:
                         y = jnp.transpose(y, (0, 3, 1, 2))

@@ -21,10 +21,17 @@ from typing import Any, Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from enhanced_unet_tpu.models.blocks import ConvBNAct, SCSEBlock, ASPP, DoubleConv
+from enhanced_unet_tpu.models.blocks import (
+    ASPP,
+    ConvBNAct,
+    DoubleConv,
+    SCSEBlock,
+    SeparableConvBNAct,
+)
 from enhanced_unet_tpu.models.encoders import EfficientNetEncoder
 from enhanced_unet_tpu.ops.resize import (
     resize_bilinear,
+    resize_bilinear_align_corners,
     upsample2x_nearest,
 )
 
@@ -60,8 +67,16 @@ class EnhancedUNetBasic(nn.Module):
 
 
 class NestedBlock(nn.Module):
-    """UNet++ node: concat(same-level dense inputs, upsampled deeper node)
-    -> DoubleConv -> scSE."""
+    """UNet++ node, smp-exact DecoderBlock (smp decoders/unetplusplus):
+
+        up = nearest_2x(below)
+        cat = concat([up, same_level[j-1], ..., same_level[1], enc])
+        cat -> attention1 (scSE) -> conv1 -> conv2 -> attention2 (scSE)
+
+    The concat puts the upsampled deeper node FIRST, then the same-row
+    dense skips newest-to-oldest, encoder feature last — torch.cat([x,
+    skip]) with smp's skip ordering — so imported conv1 kernels line up
+    without permutation."""
 
     features: int
     use_scse: bool = True  # ablation knob for profiling (benchmarks/)
@@ -70,35 +85,41 @@ class NestedBlock(nn.Module):
     @nn.compact
     def __call__(self, same_level, below, train: bool = False):
         up = upsample2x_nearest(below)  # smp UNet++ decoder uses nearest
-        parts = [f.astype(up.dtype) for f in same_level] + [up]
+        parts = [up] + [f.astype(up.dtype) for f in same_level[::-1]]
         y = jnp.concatenate(parts, axis=-1)
-        y = DoubleConv(self.features, dtype=self.dtype)(y, train)
         if self.use_scse:
-            y = SCSEBlock(dtype=self.dtype)(y)
+            y = SCSEBlock(dtype=self.dtype, name="SCSEBlock_0")(y)
+        y = DoubleConv(self.features, dtype=self.dtype,
+                       name="DoubleConv_0")(y, train)
+        if self.use_scse:
+            y = SCSEBlock(dtype=self.dtype, name="SCSEBlock_1")(y)
         return y
 
 
 class UNetPlusPlus(nn.Module):
-    """Nested UNet decoder over an EfficientNet encoder.
+    """Nested UNet decoder over an EfficientNet encoder, smp-exact
+    (smp decoders/unetplusplus/decoder.py UnetPlusPlusDecoder).
 
     Grid X[i][j]: i = resolution row (0 = stride 2 ... 4 = stride 32),
-    j = dense-skip column.  X[i][0] are encoder features; X[i][j] fuses all
-    X[i][<j] with up(X[i+1][j-1]).  Output head consumes X[0][4] plus a
-    final 2x upsampling block to full resolution (decoder widths follow
-    smp's [256,128,64,32,16]).
+    j = dense-skip column.  X[i][0] are encoder features; X[i][j] fuses
+    up(X[i+1][j-1]) with all X[i][<j].  smp's channel plan: INTERMEDIATE
+    nodes (j < 4-i) output the row's encoder skip width (their out_ch is
+    `skip_channels[layer]`); only the FINAL node of each row (j == 4-i)
+    uses decoder_channels[3-i].  The head consumes X[0][4] through one
+    more DecoderBlock (2x up, no skip, decoder_channels[4]) and a 3x3
+    segmentation conv.  smp's node x_{d}_{l} == X[3-l][l-d+1].
     """
 
     num_classes: int = 3
     encoder_name: str = "efficientnet-b5"
-    row_channels: Sequence[int] = (32, 64, 128, 256)
-    head_channels: int = 16
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     use_scse: bool = True  # ablation knob for profiling (benchmarks/)
     # ablation knob (benchmarks/profile_r2.py): False replaces the full-res
     # DoubleConv tail with a stride-2 logits conv + bilinear x2 (NOT parity)
     full_res_head: bool = True
     # compute row 0 (stride 2) and the full-res head in space-to-depth
     # packed layout — EXACTLY the same math and the same param tree, but
-    # without the 4-8x lane-padding waste of 16/32-channel tensors at
+    # without the 4-8x lane-padding waste of small-channel tensors at
     # 256-512px (ops/s2d.py; tests/test_s2d.py pins equivalence)
     packed_decoder: bool = True
     remat: bool = False
@@ -110,6 +131,7 @@ class UNetPlusPlus(nn.Module):
             PackedConv3x3,
             PackedDoubleConv,
             PackedNestedBlock,
+            PackedSCSE,
         )
         from enhanced_unet_tpu.ops.s2d import depth_to_space, space_to_depth
 
@@ -120,24 +142,26 @@ class UNetPlusPlus(nn.Module):
         )
         feats = enc_cls(variant=self.encoder_name,
                         dtype=self.dtype)(x, train)
-        # rows 0..4 = strides 2..32
+        enc_ch = [f.shape[-1] for f in feats[1:]]  # rows 0..4 = strides 2..32
         grid = {(i, 0): feats[i + 1] for i in range(5)}
-        c_row0_in = feats[1].shape[-1]
+        width = {(i, 0): enc_ch[i] for i in range(5)}
         if packed:
             grid[(0, 0)] = space_to_depth(grid[(0, 0)])
         block_idx = 0
         for j in range(1, 5):
             for i in range(0, 5 - j):
-                feat_c = self.row_channels[min(i, len(self.row_channels) - 1)]
+                is_final = j == 4 - i
+                feat_c = (self.decoder_channels[3 - i] if is_final
+                          else enc_ch[i])
                 name = f"NestedBlock_{block_idx}"
                 same = [grid[(i, k)] for k in range(j)]
                 below = grid[(i + 1, j - 1)]
                 if packed and i == 0:
-                    c_first = c_row0_in
-                    c_below = below.shape[-1]
-                    in_features = ([c_first]
-                                   + [self.row_channels[0]] * (j - 1)
-                                   + [c_below])
+                    # logical channels in smp concat order:
+                    # [up(below), same[j-1], ..., same[1], same[0]=enc]
+                    in_features = ([width[(i + 1, j - 1)]]
+                                   + [width[(i, k)] for k in
+                                      range(j - 1, -1, -1)])
                     grid[(i, j)] = PackedNestedBlock(
                         feat_c, in_features, use_scse=self.use_scse,
                         dtype=self.dtype, name=name,
@@ -147,39 +171,54 @@ class UNetPlusPlus(nn.Module):
                         feat_c, use_scse=self.use_scse,
                         dtype=self.dtype, name=name,
                     )(same, below, train)
+                width[(i, j)] = feat_c
                 block_idx += 1
-        y = grid[(0, 4)]  # stride 2 (packed: [N,H/4,W/4,4*row0_c])
+        y = grid[(0, 4)]  # stride 2 (packed: [N,H/4,W/4,4*dec_ch[3]])
+        head_c = self.decoder_channels[4]
         if not self.full_res_head:
             logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
                              dtype=self.dtype, param_dtype=jnp.float32)(y)
             return resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
-        # final up block to full resolution (no skip at stride 1)
+        # final up block to full resolution (smp's x_0_4: no skip, so no
+        # attention1; conv1+conv2+attention2, then the 3x3 head conv)
         if packed:
             # the nearest-up of the logical row-0 output is folded into the
             # first conv's kernel (fused_up_kernel) — the full-res tensor
             # is never materialised
             y = PackedDoubleConv(
-                self.head_channels, (self.row_channels[0],),
+                head_c, (self.decoder_channels[3],),
                 dtype=self.dtype, name="DoubleConv_0")(
                 [], train, up_part=depth_to_space(y))
+            if self.use_scse:
+                y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_0")(y)
             logits_p = PackedConv3x3(
-                self.num_classes, self.head_channels, use_bias=True,
-                dtype=self.dtype, name="Conv_0")(y, (self.head_channels,))
+                self.num_classes, head_c, use_bias=True,
+                dtype=self.dtype, name="Conv_0")(y, (head_c,))
             return depth_to_space(logits_p).astype(jnp.float32)
         y = upsample2x_nearest(y)
-        y = DoubleConv(self.head_channels, dtype=self.dtype)(y, train)
+        y = DoubleConv(head_c, dtype=self.dtype, name="DoubleConv_0")(y, train)
+        if self.use_scse:
+            y = SCSEBlock(dtype=self.dtype, name="SCSEBlock_0")(y)
         logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
-                         dtype=self.dtype, param_dtype=jnp.float32)(y)
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="Conv_0")(y)
         return logits.astype(jnp.float32)
 
 
 class DeepLabV3Plus(nn.Module):
-    """ASPP context head + low-level feature fusion decoder.
+    """ASPP context head + low-level feature fusion decoder, smp-exact
+    (smp decoders/deeplabv3/decoder.py DeepLabV3PlusDecoder, the structure
+    the reference instantiates with all defaults at models.py:268-275):
 
-    output_stride=16 matches smp.DeepLabV3Plus's default (the reference
-    models.py:268-275 passes no override): the encoder's last downsampling
-    is replaced by dilation, so ASPP sees stride-16 features with rates
-    (12, 24, 36).
+        ASPP(separable, Dropout 0.5) -> SeparableConv3x3-BN-ReLU
+        -> UpsamplingBilinear2d(x4, align_corners=True) -> cat with
+        block1(1x1-BN-ReLU on the stride-4 feature, 48ch)
+        -> block2 (SeparableConv3x3-BN-ReLU, 256) -> 1x1 head
+        -> UpsamplingBilinear2d(x4)
+
+    output_stride=16 matches smp.DeepLabV3Plus's default: the encoder's
+    last downsampling is replaced by dilation, so ASPP sees stride-16
+    features with rates (12, 24, 36).
     """
 
     num_classes: int = 3
@@ -199,15 +238,16 @@ class DeepLabV3Plus(nn.Module):
                         output_stride=self.output_stride,
                         dtype=self.dtype)(x, train)
         y = ASPP(self.aspp_channels, dtype=self.dtype)(feats[-1], train)
+        y = SeparableConvBNAct(self.aspp_channels, dtype=self.dtype)(y, train)
         low = feats[2]  # stride 4
-        low = ConvBNAct(48, (1, 1), dtype=self.dtype)(low, train)
-        y = resize_bilinear(y, low.shape[1:3]).astype(low.dtype)
+        y = resize_bilinear_align_corners(y, low.shape[1:3]).astype(low.dtype)
+        low = ConvBNAct(48, (1, 1), dtype=self.dtype)(low, train)  # block1
         y = jnp.concatenate([y, low], axis=-1)
-        y = ConvBNAct(256, dtype=self.dtype)(y, train)
-        y = ConvBNAct(256, dtype=self.dtype)(y, train)
+        y = SeparableConvBNAct(256, dtype=self.dtype)(y, train)  # block2
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32)(y)
-        return resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
+        return resize_bilinear_align_corners(
+            logits.astype(jnp.float32), x.shape[1:3])
 
 
 class EnhancedUNet(nn.Module):

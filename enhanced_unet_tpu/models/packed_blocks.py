@@ -240,23 +240,100 @@ class _PackedSSEConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + pb
 
 
+class _PackedSSEConvMulti(nn.Module):
+    """sSE 1x1 conv over the LOGICAL concat of a parts list (each part a
+    packed tensor), emitting the per-sub-pixel gate [N,h,w,4].  Params
+    match nn.Conv(1,(1,1)) on the logical concat: kernel [1,1,Ctot,1] +
+    bias [1] — each part contributes its kernel slice block-diagonally."""
+
+    in_features: Sequence[int]
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts):
+        ctot = sum(self.in_features)
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, ctot, 1), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        t, off = None, 0
+        for p, c in zip(parts, self.in_features):
+            pk, _ = packed_1x1_spatial_kernel(
+                w[:, :, off:off + c, :].astype(self.dtype),
+                jnp.zeros((1,), self.dtype))
+            contrib = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), pk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            t = contrib if t is None else t + contrib
+            off += c
+        return t + jnp.tile(b.astype(t.dtype), 4)
+
+
+class PackedSCSEMulti(nn.Module):
+    """scSE over a concat-of-packings parts list — the packed twin of
+    SCSEBlock applied to the logical concat (smp DecoderBlock attention1).
+    Param tree matches plain SCSEBlock (Conv_0/Conv_1 cSE, Conv_2 sSE) on
+    the logical concat, so imported attention1 weights land directly.
+    Returns the gated parts as a list (parts stay separate so the
+    downstream packed conv can slice its kernel per part)."""
+
+    in_features: Sequence[int]
+    reduction: int = 16
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, parts):
+        ctot = sum(self.in_features)
+        # logical per-channel global means, in concat order
+        means = []
+        for p, c in zip(parts, self.in_features):
+            m4 = jnp.mean(p, axis=(1, 2))            # [N,4C]
+            means.append(m4.reshape(p.shape[0], 4, c).mean(axis=1))
+        s = jnp.concatenate(means, axis=-1)[:, None, None, :]  # [N,1,1,Ctot]
+        s = nn.Conv(max(ctot // self.reduction, 1), (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="Conv_0")(s)
+        s = nn.relu(s)
+        s = nn.Conv(ctot, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="Conv_1")(s)
+        cse = jax.nn.sigmoid(s)                      # [N,1,1,Ctot]
+        t = _PackedSSEConvMulti(self.in_features, dtype=self.dtype,
+                                name="Conv_2")(parts)
+        sse = jax.nn.sigmoid(t)                      # [N,h,w,4]
+        outs, off = [], 0
+        for p, c in zip(parts, self.in_features):
+            cg = jnp.tile(cse[..., off:off + c], (1, 1, 1, 4)).astype(p.dtype)
+            sg = jnp.repeat(sse, c, axis=-1).astype(p.dtype)
+            outs.append(p * cg + p * sg)
+            off += c
+        return outs
+
+
 class PackedNestedBlock(nn.Module):
-    """Packed twin of NestedBlock: same-level packed parts + plain
-    (unpacked) below tensor; DoubleConv + scSE in packed space.  The
-    nearest-upsample of `below` is folded into the first conv's kernel
-    (fused_up_kernel) — no tile/upsample pass."""
+    """Packed twin of the smp-exact NestedBlock: parts in smp concat order
+    [up(below), same[j-1], ..., same[0]] -> attention1 (PackedSCSEMulti)
+    -> DoubleConv -> attention2 (PackedSCSE), all in packed space.
+
+    The s2d packing of nearest_up2x(below) is a channel tile x4 (every
+    sub-position equals `below`), so the upsample is one cheap concat —
+    but because attention1 gates per logical pixel, the up operand can no
+    longer be folded into the conv kernel (fused_up_kernel needs a pure
+    nearest-upsample input); it rides as a normal packed part."""
 
     features: int
-    in_features: Sequence[int]  # logical channels: same_level... then below
+    in_features: Sequence[int]  # logical channels: up(below), same[j-1..0]
     use_scse: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, same_level_packed, below_plain, train: bool = False):
-        parts = [p.astype(self.dtype) for p in same_level_packed]
+        up_packed = jnp.tile(below_plain.astype(self.dtype), (1, 1, 1, 4))
+        parts = [up_packed] + [p.astype(self.dtype)
+                               for p in same_level_packed[::-1]]
+        if self.use_scse:
+            parts = PackedSCSEMulti(self.in_features, dtype=self.dtype,
+                                    name="SCSEBlock_0")(parts)
         y = PackedDoubleConv(self.features, self.in_features,
                              dtype=self.dtype, name="DoubleConv_0")(
-            parts, train, up_part=below_plain.astype(self.dtype))
+            parts, train)
         if self.use_scse:
-            y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_0")(y)
+            y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_1")(y)
         return y

@@ -21,8 +21,9 @@ additionally removes the layout copies and pool reductions.
 
 Constraints (callers route around them — models/encoders.py):
 - inference only (no custom VJP; training keeps the XLA path)
-- kernel 3x3, stride 1; H divisible by 8 (the routing gate,
-  encoders.py, and _pick_bh below enforce this); weights pre-folded with BN
+- kernel 3x3, stride 1; H divisible by 8 and W divisible by 128 (Mosaic
+  rejects the [mid, bh*w] reshape for narrower maps; the routing gate in
+  encoders.py and _pick_bh enforce both); weights pre-folded with BN
 - bf16 activations, fp32 depthwise epilogue (a Mosaic bug rejects the
   bf16 bias broadcast; fp32 is also slightly more accurate)
 """

@@ -16,8 +16,10 @@ match the reference within +/-1 grey level (validated in
 tests/test_preprocess.py against cv2).
 
 TPU notes: everything is static-shape and fuses under jit; CLAHE is the one
-gather-heavy op (per-pixel LUT lookup) and has a Pallas variant planned for
-the hot path.  Sobel/Laplacian/Gaussian are depthwise convs on the VPU.
+gather-heavy op (per-pixel LUT lookup).  A Pallas CLAHE was built and
+benchmarked in round 2 and RETIRED — the XLA lowering won in situ (see
+docs/ARCHITECTURE.md "Pallas verdict"); this jnp version is the production
+path.  Sobel/Laplacian/Gaussian are depthwise convs on the VPU.
 """
 
 from __future__ import annotations

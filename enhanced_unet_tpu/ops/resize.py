@@ -34,6 +34,45 @@ def resize_bilinear(
     return jax.image.resize(x, out_shape, method="linear", antialias=antialias)
 
 
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, size: Tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True (torch nn.UpsamplingBilinear2d,
+    which smp's DeepLabV3+ decoder and segmentation head use for their x4
+    upsamplings).
+
+    Output pixel i samples input position i * (H_in - 1) / (H_out - 1):
+    corner pixels map exactly onto corner pixels.  Implemented as two
+    separable 1-D linear gathers (jit-friendly, static shapes).
+    """
+    def _axis_weights(n_in: int, n_out: int):
+        if n_out == 1 or n_in == 1:
+            lo = jnp.zeros((n_out,), jnp.int32)
+            return lo, lo, jnp.zeros((n_out,), jnp.float32)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        frac = pos - lo.astype(jnp.float32)
+        return lo, lo + 1, frac
+
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    oh, ow = size
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    lo, hi, f = _axis_weights(h, oh)
+    f = f[None, :, None, None]
+    xf = xf[:, lo] * (1.0 - f) + xf[:, hi] * f
+    lo, hi, f = _axis_weights(w, ow)
+    f = f[None, None, :, None]
+    xf = xf[:, :, lo] * (1.0 - f) + xf[:, :, hi] * f
+
+    out = xf.astype(dtype)
+    return out[0] if squeeze else out
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """nn.Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
     return resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2))

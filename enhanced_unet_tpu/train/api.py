@@ -367,11 +367,13 @@ def _collect_predictions(evaluator, loader, max_samples: int = 20):
 
 
 def _emit_prediction_charts(visualizer, model_name, images, gts, preds, names,
-                            probs_all, comparison, log=print):
+                            probs_all, comparison, log=print,
+                            data_dir="data"):
     """The ~19-figure suite evaluate emits (reference train_eval.py:1327-1525),
     each isolated so one figure's crash doesn't kill the rest."""
     charts = [
-        lambda: visualizer.plot_sample_grid(images, gts, preds, model_name, names),
+        lambda: visualizer.plot_sample_grid(images, gts, preds, model_name,
+                                            names, data_dir=data_dir),
         lambda: visualizer.plot_confusion_matrix(gts, preds, model_name),
         lambda: visualizer.visualize_predictions(images, gts, preds, names, model_name),
         lambda: visualizer.plot_cell_statistics(gts, preds, model_name),
@@ -482,7 +484,8 @@ def evaluate_model(
         log("Collecting predictions for visualization...")
         collected = _collect_predictions(evaluator, val_loader)
         if collected[0]:
-            _emit_prediction_charts(visualizer, model_name, *collected, log=log)
+            _emit_prediction_charts(visualizer, model_name, *collected,
+                                    log=log, data_dir=cfg.data_dir)
 
     results_file = os.path.join(save_dir, f"{model_name}_results.json")
     with open(results_file, "w", encoding="utf-8") as f:
@@ -567,7 +570,8 @@ def visualize_model(
 
         collected = _collect_predictions(evaluator, loader, max_samples)
         if collected[0]:
-            _emit_prediction_charts(visualizer, model_name, *collected, log=log)
+            _emit_prediction_charts(visualizer, model_name, *collected,
+                                    log=log, data_dir=data_dir)
 
     # 4. cross-model comparison from aggregated results (train_eval.py:1794-1799)
     Visualizer(save_dir=results_dir).plot_comprehensive_comparison_from_csv()

@@ -161,23 +161,53 @@ class Visualizer:
 
     # --------------------------------------------------------- sample grids
     def plot_sample_grid(self, images, masks_true, masks_pred, model_name: str,
-                         filenames: Optional[Sequence[str]] = None, max_rows: int = 6):
-        """Rows of [image | GT | prediction] (visualization.py:197-292)."""
+                         filenames: Optional[Sequence[str]] = None,
+                         max_rows: int = 8, data_dir: str = "data"):
+        """The reference's FOUR-column grid (visualization.py:197-292):
+        [pre-preprocessing original | preprocessed image | GT | prediction],
+        up to 8 rows at figsize (20, 5n).
+
+        Column 1 loads the raw image straight from `data_dir/<filename>`
+        when available (visualization.py:207-222); otherwise it falls back
+        to the reference's de-normalization approximation of the
+        preprocessed tensor (visualization.py:225-241)."""
         n = min(len(images), max_rows)
-        fig, axes = plt.subplots(n, 3, figsize=(12, 4 * n), squeeze=False)
+        fig, axes = plt.subplots(n, 4, figsize=(20, 5 * n), squeeze=False)
         for i in range(n):
-            axes[i, 0].imshow(_to_img(images[i]))
-            axes[i, 0].set_title(
-                filenames[i] if filenames else f"sample {i}", fontsize=8
-            )
-            axes[i, 1].imshow(self._colorize_mask(masks_true[i]))
-            axes[i, 1].set_title("ground truth", fontsize=8)
-            axes[i, 2].imshow(self._colorize_mask(masks_pred[i]))
+            shown = _to_img(images[i])
+            original = None
+            if filenames and i < len(filenames):
+                path = os.path.join(data_dir, str(filenames[i]))
+                if os.path.exists(path):
+                    try:
+                        from PIL import Image
+
+                        original = np.asarray(
+                            Image.open(path).convert("RGB"),
+                            dtype=np.float32) / 255.0
+                    except Exception:
+                        original = None
+            if original is None:
+                # de-normalization approximation (visualization.py:225-241;
+                # our pipeline keeps [0,1] images, so this is the identity
+                # clip rather than the torch mean/std inversion)
+                original = shown
+            axes[i, 0].imshow(original)
+            axes[i, 0].set_title(f"Sample {i + 1} - original",
+                                 fontsize=12, fontweight="bold")
+            axes[i, 1].imshow(shown)
+            axes[i, 1].set_title("preprocessed", fontsize=12,
+                                 fontweight="bold")
+            axes[i, 2].imshow(self._colorize_mask(masks_true[i]))
+            axes[i, 2].set_title("ground truth", fontsize=12,
+                                 fontweight="bold")
+            axes[i, 3].imshow(self._colorize_mask(masks_pred[i]))
             m = calculate_semantic_metrics(
                 np.asarray(masks_pred[i]), np.asarray(masks_true[i])
             )
-            axes[i, 2].set_title(f"pred (mIoU {m['sem_mean_iou']:.3f})", fontsize=8)
-            for j in range(3):
+            axes[i, 3].set_title(f"prediction (mIoU {m['sem_mean_iou']:.3f})",
+                                 fontsize=12, fontweight="bold")
+            for j in range(4):
                 axes[i, j].axis("off")
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_sample_grid")

@@ -135,7 +135,8 @@ class TestPackedBlocks:
         s1 = _rand(13, (2, 16, 16, 8))
         below = _rand(14, (2, 8, 8, 10))
         plain = NestedBlock(8, dtype=jnp.float32)
-        packed = PackedNestedBlock(8, (5, 8, 10), dtype=jnp.float32)
+        # smp concat order: [up(below), same[j-1], ..., same[0]]
+        packed = PackedNestedBlock(8, (10, 8, 5), dtype=jnp.float32)
         vp, vq = _init_both(
             plain, packed,
             ([f, s1], below, False),
