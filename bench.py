@@ -72,10 +72,12 @@ def main():
     model = get_model(model_name, dtype=jnp.bfloat16, **kwargs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)
-    variables = model.init(
+    from enhanced_unet_tpu.utils.init import init_variables
+
+    variables = init_variables(
+        model,
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         jnp.zeros((1, size, size, 3), jnp.float32),
-        train=False,
     )
 
     # Timing protocol: N forwards chained through a lax.fori_loop inside ONE

@@ -89,9 +89,10 @@ def main():
     model, shape = build(target)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random(shape), jnp.float32)
-    variables = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        jnp.zeros(shape, jnp.float32), train=False)
+    from enhanced_unet_tpu.utils.init import init_variables
+    variables = init_variables(
+        model, {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1,) + shape[1:], jnp.float32))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 

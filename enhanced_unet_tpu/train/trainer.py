@@ -75,7 +75,9 @@ def create_train_state(
 ) -> TrainState:
     p_rng, d_rng = jax.random.split(rng)
     dummy = jnp.zeros(input_shape, jnp.float32)
-    variables = model.init({"params": p_rng, "dropout": d_rng}, dummy, train=False)
+    from enhanced_unet_tpu.utils.init import init_variables
+
+    variables = init_variables(model, {"params": p_rng, "dropout": d_rng}, dummy)
     tx = make_optimizer(cfg, steps_per_epoch)
     params = variables["params"]
     return TrainState(
