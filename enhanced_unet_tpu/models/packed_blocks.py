@@ -241,53 +241,63 @@ class _PackedSSEConv(nn.Module):
 
 
 class _PackedSSEConvMulti(nn.Module):
-    """sSE 1x1 conv over the LOGICAL concat of a parts list (each part a
-    packed tensor), emitting the per-sub-pixel gate [N,h,w,4].  Params
-    match nn.Conv(1,(1,1)) on the logical concat: kernel [1,1,Ctot,1] +
-    bias [1] — each part contributes its kernel slice block-diagonally."""
+    """sSE 1x1 conv over the packed CONCAT of a parts list, emitting the
+    per-sub-pixel gate [N,h,w,4] with ONE conv.  Params match
+    nn.Conv(1,(1,1)) on the logical concat: kernel [1,1,Ctot,1] + bias [1];
+    each part's slice is expanded block-diagonally (sub-position s of the
+    gate reads only that part's sub-position-s channels) and the slices are
+    stacked along the packed input axis in concat order."""
 
     in_features: Sequence[int]
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, parts):
+    def __call__(self, x):
         ctot = sum(self.in_features)
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (1, 1, ctot, 1), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
-        t, off = None, 0
-        for p, c in zip(parts, self.in_features):
+        pks, off = [], 0
+        for c in self.in_features:
             pk, _ = packed_1x1_spatial_kernel(
                 w[:, :, off:off + c, :].astype(self.dtype),
                 jnp.zeros((1,), self.dtype))
-            contrib = jax.lax.conv_general_dilated(
-                p.astype(self.dtype), pk, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            t = contrib if t is None else t + contrib
+            pks.append(pk)                          # [1,1,4c,4]
             off += c
+        kernel = jnp.concatenate(pks, axis=2)        # [1,1,sum(4c),4]
+        t = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return t + jnp.tile(b.astype(t.dtype), 4)
 
 
 class PackedSCSEMulti(nn.Module):
-    """scSE over a concat-of-packings parts list — the packed twin of
+    """scSE over the packed concat of a parts list — the packed twin of
     SCSEBlock applied to the logical concat (smp DecoderBlock attention1).
     Param tree matches plain SCSEBlock (Conv_0/Conv_1 cSE, Conv_2 sSE) on
     the logical concat, so imported attention1 weights land directly.
-    Returns the gated parts as a list (parts stay separate so the
-    downstream packed conv can slice its kernel per part)."""
+
+    Takes and returns ONE tensor (the packed concat, channel layout
+    [part0:(s,c) | part1:(s,c) | ...]): one global-mean reduction, one sSE
+    conv, and one fused gating pass over the whole concat — the per-part
+    formulation spent ~3 extra HBM passes per block in separate reduces,
+    convs and multiplies (benchmarks/op_trace.py round-3 attribution)."""
 
     in_features: Sequence[int]
     reduction: int = 16
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, parts):
+    def __call__(self, x):
+        n = x.shape[0]
         ctot = sum(self.in_features)
-        # logical per-channel global means, in concat order
-        means = []
-        for p, c in zip(parts, self.in_features):
-            m4 = jnp.mean(p, axis=(1, 2))            # [N,4C]
-            means.append(m4.reshape(p.shape[0], 4, c).mean(axis=1))
+        # logical per-channel global means, in concat order: one reduction
+        # over (h,w), then tiny per-part sub-position averages on [N,4C]
+        m = jnp.mean(x, axis=(1, 2))                 # [N, sum(4C)]
+        means, off = [], 0
+        for c in self.in_features:
+            means.append(m[:, off:off + 4 * c].reshape(n, 4, c).mean(axis=1))
+            off += 4 * c
         s = jnp.concatenate(means, axis=-1)[:, None, None, :]  # [N,1,1,Ctot]
         s = nn.Conv(max(ctot // self.reduction, 1), (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32, name="Conv_0")(s)
@@ -295,16 +305,21 @@ class PackedSCSEMulti(nn.Module):
         s = nn.Conv(ctot, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                     name="Conv_1")(s)
         cse = jax.nn.sigmoid(s)                      # [N,1,1,Ctot]
-        t = _PackedSSEConvMulti(self.in_features, dtype=self.dtype,
-                                name="Conv_2")(parts)
-        sse = jax.nn.sigmoid(t)                      # [N,h,w,4]
-        outs, off = [], 0
-        for p, c in zip(parts, self.in_features):
-            cg = jnp.tile(cse[..., off:off + c], (1, 1, 1, 4)).astype(p.dtype)
-            sg = jnp.repeat(sse, c, axis=-1).astype(p.dtype)
-            outs.append(p * cg + p * sg)
+        # broadcast the cse gate back to the packed concat layout (tiny)
+        cparts, off = [], 0
+        for c in self.in_features:
+            cparts.append(jnp.tile(cse[..., off:off + c], (1, 1, 1, 4)))
             off += c
-        return outs
+        cse_p = jnp.concatenate(cparts, axis=-1).astype(x.dtype)
+        t = _PackedSSEConvMulti(self.in_features, dtype=self.dtype,
+                                name="Conv_2")(x)
+        sse = jax.nn.sigmoid(t)                      # [N,h,w,4]
+        # expand the sub-pixel gate to the concat layout; XLA fuses the
+        # repeats+adds+multiply into one elementwise pass over x
+        sse_p = jnp.concatenate(
+            [jnp.repeat(sse, c, axis=-1) for c in self.in_features],
+            axis=-1).astype(x.dtype)
+        return x * (cse_p + sse_p)
 
 
 class PackedNestedBlock(nn.Module):
@@ -328,12 +343,16 @@ class PackedNestedBlock(nn.Module):
         up_packed = jnp.tile(below_plain.astype(self.dtype), (1, 1, 1, 4))
         parts = [up_packed] + [p.astype(self.dtype)
                                for p in same_level_packed[::-1]]
+        # concat once; attention1 and the convs all run single-tensor passes
+        # (the conv kernel still slices per part — the packed concat layout
+        # is part-major, not a packing of the logical concat)
+        x = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
         if self.use_scse:
-            parts = PackedSCSEMulti(self.in_features, dtype=self.dtype,
-                                    name="SCSEBlock_0")(parts)
+            x = PackedSCSEMulti(self.in_features, dtype=self.dtype,
+                                name="SCSEBlock_0")(x)
         y = PackedDoubleConv(self.features, self.in_features,
                              dtype=self.dtype, name="DoubleConv_0")(
-            parts, train)
+            [x], train)
         if self.use_scse:
             y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_1")(y)
         return y
