@@ -264,6 +264,11 @@ class EnhancedUNet(nn.Module):
     num_classes: int = 3
     fusion_dropout: Tuple[float, float] = (0.2, 0.15)
     fusion_stride: int = 1
+    # (UNet++ branch, DeepLabV3+ branch) encoders; the reference pairing is
+    # (b5, b4) (models.py:255-275).  Overridable so compile-bound harnesses
+    # (virtual-CPU-mesh dryruns) can run the identical dual-branch structure
+    # on a smaller encoder.
+    encoder_names: Tuple[str, str] = ("efficientnet-b5", "efficientnet-b4")
     # jax.checkpoint the encoders: trades recompute for activation memory —
     # useful for large-batch/large-resolution training (512x512 training is
     # HBM-bound on v5e)
@@ -276,9 +281,11 @@ class EnhancedUNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
         out_main = UNetPlusPlus(self.num_classes, remat=self.remat,
+                                encoder_name=self.encoder_names[0],
                                 packed_decoder=self.packed_decoder,
                                 dtype=self.dtype)(x, train)
         out_aux = DeepLabV3Plus(self.num_classes, remat=self.remat,
+                                encoder_name=self.encoder_names[1],
                                 dtype=self.dtype)(x, train)
 
         fused = jnp.concatenate([out_main, out_aux], axis=-1)  # [N,H,W,6]
