@@ -15,6 +15,13 @@ from enhanced_unet_tpu.parallel.data_parallel import (
     shard_batch,
 )
 from enhanced_unet_tpu.parallel.tiled import tiled_inference_sharded
+from enhanced_unet_tpu.parallel.tensor_parallel import (
+    make_mesh_2d,
+    make_tp_apply,
+    make_tp_train_step,
+    shard_params_tp,
+    tp_param_specs,
+)
 
 __all__ = [
     "make_mesh",
@@ -23,4 +30,9 @@ __all__ = [
     "make_global_batch",
     "shard_batch",
     "tiled_inference_sharded",
+    "make_mesh_2d",
+    "tp_param_specs",
+    "shard_params_tp",
+    "make_tp_apply",
+    "make_tp_train_step",
 ]
