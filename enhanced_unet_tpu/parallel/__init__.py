@@ -14,6 +14,7 @@ from enhanced_unet_tpu.parallel.data_parallel import (
     make_global_batch,
     shard_batch,
 )
+from enhanced_unet_tpu.parallel.spatial import make_spatial_apply
 from enhanced_unet_tpu.parallel.tiled import tiled_inference_sharded
 from enhanced_unet_tpu.parallel.tensor_parallel import (
     make_mesh_2d,
@@ -30,6 +31,7 @@ __all__ = [
     "make_global_batch",
     "shard_batch",
     "tiled_inference_sharded",
+    "make_spatial_apply",
     "make_mesh_2d",
     "tp_param_specs",
     "shard_params_tp",

@@ -9,7 +9,7 @@ on hardware).  This lets a single oversized micrograph that exceeds one
 chip's HBM be processed in place, complementing the tile-based path
 (parallel/tiled.py) which re-reads overlaps instead.
 
-Two levels of API:
+Three levels of API:
 - `make_spatial_conv3x3` — one halo-exchanged conv (the minimal demo).
 - `make_spatial_basic_unet` — a WHOLE BasicUNet inference forward
   (encoder double-convs + pools, bilinear-up + skip-concat decoder, 1x1
@@ -17,6 +17,14 @@ Two levels of API:
   stencil, consuming the standard `BasicUNet` checkpoint tree unchanged.
   Equivalence vs the unsharded model is pinned by tests/test_spatial.py
   on an 8-virtual-device CPU mesh.
+- `make_spatial_apply` — GSPMD spatial partitioning for ANY zoo model,
+  including the flagship EnhancedUNet: the input batch is annotated
+  H-sharded and XLA's SPMD partitioner derives every halo exchange
+  (convs/pools), switches to gathered compute where maps get small
+  (ASPP at stride 16), and reshards for the decoder — the scaling-book
+  recipe (annotate, let XLA insert collectives) applied spatially.  The
+  hand-rolled BasicUNet path above documents explicitly what XLA
+  synthesizes here.
 """
 
 from __future__ import annotations
@@ -208,3 +216,31 @@ def make_spatial_basic_unet(mesh: Mesh, axis_name: str = "space"):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD spatial partitioning: any model, XLA-derived halos
+# ---------------------------------------------------------------------------
+
+def make_spatial_apply(model, mesh: Mesh, axis_name: str = "space"):
+    """Spatially-partitioned inference for any zoo model (incl. the
+    flagship) as one GSPMD program.
+
+    Returns `fn(variables, x_nhwc) -> logits` with the batch H-sharded over
+    `axis_name`; params replicated.  XLA's SPMD partitioner inserts the
+    halo exchanges for every stencil op, turns global pools (SE/scSE/ASPP
+    image pooling) into cross-shard reductions, and re-gathers where maps
+    are smaller than the mesh — no per-model halo code.  H must divide the
+    mesh size times the model's total stride.  Output is H-sharded; fetch
+    or `device_get` assembles it.
+    """
+    x_sh = NamedSharding(mesh, P(None, axis_name, None, None))
+
+    @jax.jit
+    def fwd(variables, x):
+        x = jax.lax.with_sharding_constraint(x, x_sh)
+        out = model.apply(variables, x, train=False)
+        out = out[0] if isinstance(out, tuple) else out
+        return jax.lax.with_sharding_constraint(out, x_sh)
+
+    return fwd
