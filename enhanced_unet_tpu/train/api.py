@@ -485,7 +485,7 @@ def evaluate_model(
         collected = _collect_predictions(evaluator, val_loader)
         if collected[0]:
             _emit_prediction_charts(visualizer, model_name, *collected,
-                                    log=log, data_dir=cfg.data_dir)
+                                    log=log, data_dir=data_dir)
 
     results_file = os.path.join(save_dir, f"{model_name}_results.json")
     with open(results_file, "w", encoding="utf-8") as f:
