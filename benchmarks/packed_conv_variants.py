@@ -34,51 +34,12 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from enhanced_unet_tpu.ops.s2d import (  # noqa: E402
+    aligned22_kernel,
+    conv3x3_aligned22,
     depth_to_space,
     s2d_kernel_same,
     space_to_depth,
 )
-
-# _SEL22[dy, a, u] = 1 iff logical tap u (0..2) of output sub-row a lands on
-# padded-window row dy (0..1): window for a covers packed rows (i-1+a, i+a),
-# tap u reads original row 2i+a+u-1 = packed row i + (a+u-1)//2, sub-row
-# (a+u-1) % 2.
-_SEL22 = np.zeros((2, 2, 2, 3), np.float32)  # [dy, da, a, u]
-for _a in range(2):
-    for _u in range(3):
-        _r = _a + _u - 1
-        _dy = _r // 2 + 1 - _a  # padded window row: (i + r//2) - (i - 1 + a)
-        _da = _r % 2
-        if 0 <= _dy <= 1:
-            _SEL22[_dy, _da, _a, _u] = 1.0
-
-
-def aligned22_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """[3,3,Ci,Co] -> [2,2,4Ci,4Co] for the aligned-2x2 formulation."""
-    sel = jnp.asarray(_SEL22, w.dtype)
-    k = jnp.einsum("YdAu,XeBv,uvio->YXdeiABo", sel, sel, w)
-    cin, cout = w.shape[2], w.shape[3]
-    return k.reshape(2, 2, 4 * cin, 4 * cout)
-
-
-def conv3x3_aligned22(xp: jnp.ndarray, k22: jnp.ndarray) -> jnp.ndarray:
-    """Logical conv3x3-SAME on the natural packing via one 2x2 VALID conv.
-
-    xp: [N,h,w,4Ci] natural packing.  Returns [N,h,w,4Co] natural packing.
-    """
-    n, h, w, _ = xp.shape
-    cout4 = k22.shape[3]
-    xpad = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y = jax.lax.conv_general_dilated(
-        xpad, k22, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # [N,h+1,w+1,4Co]
-    co = cout4 // 4
-    parts = []
-    for a in range(2):
-        for b in range(2):
-            s = (a * 2 + b) * co
-            parts.append(y[:, a:a + h, b:b + w, s:s + co])
-    return jnp.concatenate(parts, axis=-1)
 
 
 def _check_correct():

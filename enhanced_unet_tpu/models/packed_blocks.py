@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from enhanced_unet_tpu.ops.s2d import (
+    aligned22_kernel_multi,
+    conv3x3_aligned22,
     conv3x3_s2d,
     fused_up_kernel,
     packed_1x1_spatial_kernel,
@@ -36,6 +40,14 @@ from enhanced_unet_tpu.ops.s2d import (
 )
 
 Dtype = Any
+
+
+def _s2d_impl() -> str:
+    """Packed-conv lowering: "stuffed" (3x3 zero-stuffed kernel, 4x MACs) or
+    "aligned22" (2x2 VALID + output slices, 16/9 MACs).  Same math either
+    way (tests/test_s2d.py); the default is the variant that measures
+    faster on TPU (benchmarks/packed_conv_variants.py)."""
+    return os.environ.get("EUNET_S2D_IMPL", "stuffed")
 
 
 class PackedBatchNorm(nn.Module):
@@ -115,15 +127,23 @@ class PackedConv3x3(nn.Module):
         for c in split:
             slices.append(kernel[:, :, offs:offs + c, :])
             offs += c
-        pk = (s2d_kernel_same_multi(slices).astype(self.dtype)
-              if slices else None)
         uk = None
         if up_part is not None:
             uk = fused_up_kernel(kernel[:, :, offs:offs + up_features, :]
                                  ).astype(self.dtype)
             up_part = up_part.astype(self.dtype)
-        y = conv3x3_s2d([p.astype(self.dtype) for p in parts], pk,
-                        up_input=up_part, up_kernel=uk)
+        if _s2d_impl() == "aligned22" and slices:
+            pk = aligned22_kernel_multi(slices).astype(self.dtype)
+            xs = [p.astype(self.dtype) for p in parts]
+            x = jnp.concatenate(xs, axis=-1) if len(xs) > 1 else xs[0]
+            y = conv3x3_aligned22(x, pk)
+            if up_part is not None:
+                y = y + conv3x3_s2d(None, None, up_input=up_part, up_kernel=uk)
+        else:
+            pk = (s2d_kernel_same_multi(slices).astype(self.dtype)
+                  if slices else None)
+            y = conv3x3_s2d([p.astype(self.dtype) for p in parts], pk,
+                            up_input=up_part, up_kernel=uk)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

@@ -133,6 +133,58 @@ def fused_up_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return k.reshape(3, 3, cin, 4 * cout)
 
 
+# _SEL22[dy, da, a, u] = 1 iff logical tap u (0..2) of output sub-row a
+# lands on 2x2-window row dy, sub-row da: the window for output sub-row a
+# covers packed rows (i-1+a, i+a); tap u reads original row 2i+a+u-1 =
+# packed row i + (a+u-1)//2, sub-row (a+u-1) % 2.
+_SEL22 = np.zeros((2, 2, 2, 3), np.float32)
+for _a in range(2):
+    for _u in range(3):
+        _r = _a + _u - 1
+        _dy = _r // 2 + 1 - _a
+        if 0 <= _dy <= 1:
+            _SEL22[_dy, _r % 2, _a, _u] = 1.0
+
+
+def aligned22_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Pack a 3x3 HWIO kernel [3,3,Ci,Co] into the [2,2,4Ci,4Co] kernel of
+    the aligned-2x2 formulation (see `conv3x3_s2d` impl="aligned22"):
+    36 of 64 slots non-zero = 16/9 MAC overhead vs the stuffed 3x3's 4x."""
+    sel = jnp.asarray(_SEL22, w.dtype)
+    k = jnp.einsum("YdAu,XeBv,uvio->YXdeiABo", sel, sel, w)
+    cin, cout = w.shape[2], w.shape[3]
+    return k.reshape(2, 2, 4 * cin, 4 * cout)
+
+
+def aligned22_kernel_multi(parts) -> jnp.ndarray:
+    """`aligned22_kernel` for a concat-of-packings input (cf.
+    `s2d_kernel_same_multi`)."""
+    return jnp.concatenate([aligned22_kernel(p) for p in parts], axis=2)
+
+
+def conv3x3_aligned22(xp: jnp.ndarray, k22: jnp.ndarray,
+                      precision=None) -> jnp.ndarray:
+    """Logical 3x3 SAME conv on the natural packing via ONE 2x2 VALID conv
+    over a one-packed-row-padded input; the four output sub-position groups
+    are [h,w] slices of the [h+1,w+1] result, reassembled into the natural
+    channel order.  16/9 MAC overhead instead of the stuffed kernel's 4x;
+    the slices+concat are one output-sized data pass (fusable downstream).
+    """
+    n, h, w, _ = xp.shape
+    co = k22.shape[3] // 4
+    xpad = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xpad, k22, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision)                          # [N,h+1,w+1,4Co]
+    parts = []
+    for a in range(2):
+        for b in range(2):
+            s = (a * 2 + b) * co
+            parts.append(y[:, a:a + h, b:b + w, s:s + co])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def conv3x3_s2d(
     x_packed,
     stuffed_kernel: jnp.ndarray,

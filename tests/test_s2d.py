@@ -147,6 +147,25 @@ class TestPackedBlocks:
             vp, [space_to_depth(f), space_to_depth(s1)], below, False))
         np.testing.assert_allclose(got, ref, atol=1e-4)
 
+    def test_nested_block_equivalence_aligned22(self, monkeypatch):
+        """The aligned-2x2 conv lowering (EUNET_S2D_IMPL=aligned22) computes
+        the same NestedBlock function on the same param tree."""
+        monkeypatch.setenv("EUNET_S2D_IMPL", "aligned22")
+        f = _rand(12, (2, 16, 16, 5))
+        s1 = _rand(13, (2, 16, 16, 8))
+        below = _rand(14, (2, 8, 8, 10))
+        plain = NestedBlock(8, dtype=jnp.float32)
+        packed = PackedNestedBlock(8, (10, 8, 5), dtype=jnp.float32)
+        vp, vq = _init_both(
+            plain, packed,
+            ([f, s1], below, False),
+            ([space_to_depth(f), space_to_depth(s1)], below, False))
+        chex_tree_equal(vp, vq)
+        ref = plain.apply(vp, [f, s1], below, False)
+        got = depth_to_space(packed.apply(
+            vp, [space_to_depth(f), space_to_depth(s1)], below, False))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
 
 def chex_tree_equal(a, b):
     la = jax.tree_util.tree_leaves_with_path(a)
