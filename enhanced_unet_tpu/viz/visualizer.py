@@ -213,11 +213,31 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_sample_grid")
 
     def plot_sample_predictions_grid(self, images, masks_true, masks_pred,
-                                     filenames, model_name: str):
-        """Alternate grid entry point (visualization.py:1360-1401); the
-        reference saves it under the same filename as plot_sample_grid."""
-        self.plot_sample_grid(images, masks_true, masks_pred, model_name,
-                              filenames=filenames)
+                                     filenames, model_name: str,
+                                     num_samples: int = 16):
+        """Up-to-16-sample grid of prediction overlays, 4 per row
+        (visualization.py:1360-1401).  The reference saves it under the
+        same `{model}_sample_grid` filename as plot_sample_grid and calls
+        it LATER in the eval flow (train_eval.py:1376 then 1421), so this
+        overlay grid is the artifact that survives on disk."""
+        num_samples = min(num_samples, len(images))
+        rows = max(int(np.ceil(num_samples / 4)), 1)
+        fig, axes = plt.subplots(rows, 4, figsize=(20, 5 * rows),
+                                 squeeze=False)
+        for i in range(num_samples):
+            img = _to_img(images[i])
+            colored = self._colorize_mask(masks_pred[i])
+            overlay = np.clip(img * 0.5 + colored * 0.5, 0, 1)
+            ax = axes[i // 4, i % 4]
+            ax.imshow(overlay)
+            ax.set_title(f"Sample {i + 1}", fontsize=10, fontweight="bold")
+            ax.axis("off")
+        for i in range(num_samples, rows * 4):
+            axes[i // 4, i % 4].axis("off")
+        fig.suptitle(f"{model_name} - Sample Predictions", fontsize=16,
+                     fontweight="bold")
+        fig.tight_layout()
+        self._save_figure(fig, f"{model_name}_sample_grid")
 
     def visualize_predictions(self, images, masks_true, masks_pred,
                               filenames, model_name: str, max_rows: int = 4):
