@@ -387,7 +387,8 @@ def _emit_prediction_charts(visualizer, model_name, images, gts, preds, names,
         lambda: visualizer.plot_boundary_accuracy(gts, preds, model_name),
         lambda: visualizer.plot_size_based_performance(gts, preds, model_name),
         lambda: visualizer.plot_calibration_curve(probs_all, gts, model_name),
-        lambda: visualizer.create_paper_figures(images, gts, preds, model_name, names),
+        lambda: visualizer.create_paper_figures(images, gts, preds, model_name,
+                                                names, data_dir=data_dir),
         lambda: visualizer.plot_cell_count_comparison(comparison, model_name),
     ]
     for fn in charts:

@@ -27,6 +27,23 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
+# CJK figure labels (the paper fig1 column titles keep the reference's
+# Chinese strings, main.py:39-72 probes fonts for the same reason): use a
+# CJK-capable font when one is installed, otherwise silence the per-glyph
+# missing-font warnings — the figures still render, titles as tofu boxes.
+_CJK_CANDIDATES = ("Noto Sans CJK SC", "Noto Sans SC", "WenQuanYi Micro Hei",
+                   "SimHei", "Source Han Sans SC")
+_available = {f.name for f in matplotlib.font_manager.fontManager.ttflist}
+_cjk = next((n for n in _CJK_CANDIDATES if n in _available), None)
+if _cjk is not None:
+    plt.rcParams["font.sans-serif"] = [_cjk] + plt.rcParams["font.sans-serif"]
+    plt.rcParams["axes.unicode_minus"] = False
+else:
+    import warnings as _warnings
+
+    _warnings.filterwarnings(
+        "ignore", message=r"Glyph \d+ .* missing from font", module=".*")
+
 from enhanced_unet_tpu.metrics.semantic import (
     calculate_dice,
     calculate_iou,
@@ -62,12 +79,18 @@ class Visualizer:
     # ------------------------------------------------------------------ io
     def _save_figure(self, fig, filename: str, dpi: int = 300):
         """PNG + SVG dumps (visualization.py:83-119)."""
-        for ext in ("png", "svg"):
-            fig.savefig(
-                os.path.join(self.save_dir, f"{filename}.{ext}"),
-                dpi=dpi,
-                bbox_inches="tight",
-            )
+        import warnings
+
+        with warnings.catch_warnings():
+            if _cjk is None:  # no CJK font installed: tofu boxes, no spam
+                warnings.filterwarnings(
+                    "ignore", message=r"Glyph \d+ .* missing from font")
+            for ext in ("png", "svg"):
+                fig.savefig(
+                    os.path.join(self.save_dir, f"{filename}.{ext}"),
+                    dpi=dpi,
+                    bbox_inches="tight",
+                )
         plt.close(fig)
 
     def _colorize_mask(self, mask) -> np.ndarray:
@@ -480,57 +503,132 @@ class Visualizer:
 
     # ----------------------------------------------------------- paper figs
     def create_paper_figures(self, images, masks_true, masks_pred,
-                             model_name: str, filenames=None):
-        """Four publication figures (visualization.py:1904-2186)."""
-        n = min(3, len(images))
-        # fig 1: side-by-side comparison
-        fig, axes = plt.subplots(n, 3, figsize=(12, 4 * n), squeeze=False)
-        for i in range(n):
-            axes[i, 0].imshow(_to_img(images[i])); axes[i, 0].set_title("input")
-            axes[i, 1].imshow(self._colorize_mask(masks_true[i]))
-            axes[i, 1].set_title("ground truth")
-            axes[i, 2].imshow(self._colorize_mask(masks_pred[i]))
-            axes[i, 2].set_title(model_name)
-            for j in range(3):
-                axes[i, j].axis("off")
-        fig.tight_layout()
-        self._save_figure(fig, f"{model_name}_paper_fig1_comparison")
+                             model_name: str, filenames=None,
+                             data_dir: str = "data"):
+        """Four publication figures (visualization.py:1904-2186), matching
+        the reference's panel layouts and annotations."""
+        import warnings
 
-        # fig 2: overlays
-        fig, axes = plt.subplots(1, n, figsize=(5 * n, 5), squeeze=False)
-        for i in range(n):
+        from matplotlib.patches import Patch
+
+        # fig 1: 4 samples x 4 columns [from-disk original | preprocessed |
+        # GT | pred], Chinese column titles, class legend at top (1910-2012)
+        fig, axes = plt.subplots(4, 4, figsize=(20, 20))
+        for i in range(min(4, len(images))):
+            shown = _to_img(images[i])
+            original = None
+            if filenames and i < len(filenames):
+                path = os.path.join(data_dir, str(filenames[i]))
+                if os.path.exists(path):
+                    try:
+                        from PIL import Image
+
+                        original = np.asarray(
+                            Image.open(path).convert("RGB"),
+                            dtype=np.float32) / 255.0
+                    except Exception:
+                        original = None
+            if original is None:
+                original = shown  # de-normalization approx (1932-1949)
+            axes[i, 0].imshow(original)
+            axes[i, 0].set_title("预处理前的原图", fontsize=12,
+                                 fontweight="bold")
+            axes[i, 1].imshow(shown)
+            axes[i, 1].set_title("预处理后的图", fontsize=12,
+                                 fontweight="bold")
+            axes[i, 2].imshow(self._colorize_mask(masks_true[i]))
+            axes[i, 2].set_title("真实标注", fontsize=12, fontweight="bold")
+            axes[i, 3].imshow(self._colorize_mask(masks_pred[i]))
+            axes[i, 3].set_title("预测标注", fontsize=12, fontweight="bold")
+        for ax in axes.flat:
+            ax.axis("off")
+        legend = [Patch(facecolor=CLASS_COLORS[c], edgecolor="black",
+                        label=CLASS_NAMES[c]) for c in range(3)]
+        fig.legend(handles=legend, loc="upper center", ncol=3, fontsize=12,
+                   frameon=True, shadow=True, bbox_to_anchor=(0.5, 0.98))
+        with warnings.catch_warnings():
+            if _cjk is None:  # fig1's Chinese titles; see module header
+                warnings.filterwarnings(
+                    "ignore", message=r"Glyph \d+ .* missing from font")
+            fig.tight_layout(rect=[0, 0, 1, 0.97])
+            self._save_figure(fig, f"{model_name}_paper_fig1_comparison")
+
+        # fig 2: 2x2 prediction overlays, 0.5 blend over every class incl.
+        # background (2014-2060)
+        fig, axes = plt.subplots(2, 2, figsize=(14, 14))
+        axes = axes.flatten()
+        for i in range(min(4, len(images))):
             img = _to_img(images[i])
-            color = self._colorize_mask(masks_pred[i])
-            over = np.where(np.asarray(masks_pred[i])[..., None] > 0,
-                            0.45 * img + 0.55 * color, img)
-            axes[0, i].imshow(np.clip(over, 0, 1)); axes[0, i].axis("off")
+            overlay = np.clip(
+                img * 0.5 + self._colorize_mask(masks_pred[i]) * 0.5, 0, 1)
+            axes[i].imshow(overlay)
+            axes[i].set_title(f"Sample {i + 1} - Prediction Overlay",
+                              fontsize=12, fontweight="bold")
+        for ax in axes:
+            ax.axis("off")
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_paper_fig2_overlay")
 
-        # fig 3: error maps
-        fig, axes = plt.subplots(1, n, figsize=(5 * n, 5), squeeze=False)
-        for i in range(n):
+        # fig 3: 2x2 error maps (any-mismatch, Reds over the image) with a
+        # shared horizontal colorbar (2062-2113)
+        fig, axes = plt.subplots(2, 2, figsize=(14, 14))
+        axes = axes.flatten()
+        im = None
+        for i in range(min(4, len(images))):
             t = np.asarray(masks_true[i]); p = np.asarray(masks_pred[i])
-            err = np.zeros((*t.shape, 3), np.float32)
-            err[(t == 0) & (p > 0)] = (1, 0.6, 0)     # FP orange
-            err[(t > 0) & (p == 0)] = (0.2, 0.4, 1)   # FN blue
-            err[(t > 0) & (p > 0) & (t != p)] = (1, 0, 1)  # swap magenta
-            axes[0, i].imshow(err); axes[0, i].axis("off")
-        fig.tight_layout()
+            axes[i].imshow(_to_img(images[i]), alpha=0.7)
+            im = axes[i].imshow((t != p).astype(float), cmap="Reds",
+                                alpha=0.5, vmin=0, vmax=1)
+            axes[i].set_title(f"Sample {i + 1} - Error Map", fontsize=12,
+                              fontweight="bold")
+        for ax in axes:
+            ax.axis("off")
+        if im is not None:
+            cbar = fig.colorbar(im, ax=axes, orientation="horizontal",
+                                fraction=0.05, pad=0.05, aspect=30)
+            cbar.set_label("Error (Red = Incorrect)", fontsize=12,
+                           fontweight="bold")
         self._save_figure(fig, f"{model_name}_paper_fig3_errors")
 
-        # fig 4: detailed single-sample panel with metrics
+        # fig 4: single-sample gridspec panel — original (2-row span), GT,
+        # pred, error map, per-class masks, stats box (2115-2186)
         t = np.asarray(masks_true[0]); p = np.asarray(masks_pred[0])
-        m = calculate_semantic_metrics(p, t)
-        fig, axes = plt.subplots(1, 4, figsize=(18, 5))
-        axes[0].imshow(_to_img(images[0])); axes[0].set_title("input")
-        axes[1].imshow(self._colorize_mask(t)); axes[1].set_title("GT")
-        axes[2].imshow(self._colorize_mask(p)); axes[2].set_title("prediction")
-        axes[3].axis("off")
-        txt = "\n".join(f"{k}: {v:.3f}" for k, v in sorted(m.items()))
-        axes[3].text(0.02, 0.5, txt, fontsize=9, va="center", family="monospace")
-        for a in axes[:3]:
-            a.axis("off")
+        fig = plt.figure(figsize=(18, 6))
+        gs = fig.add_gridspec(2, 4, hspace=0.3, wspace=0.3)
+        ax1 = fig.add_subplot(gs[:, 0])
+        ax1.imshow(_to_img(images[0]))
+        ax1.set_title("Original Image", fontsize=14, fontweight="bold")
+        ax2 = fig.add_subplot(gs[0, 1])
+        ax2.imshow(self._colorize_mask(t))
+        ax2.set_title("Ground Truth", fontsize=14, fontweight="bold")
+        ax3 = fig.add_subplot(gs[0, 2])
+        ax3.imshow(self._colorize_mask(p))
+        ax3.set_title("Prediction", fontsize=14, fontweight="bold")
+        ax4 = fig.add_subplot(gs[0, 3])
+        ax4.imshow((t != p).astype(float), cmap="Reds", vmin=0, vmax=1)
+        ax4.set_title("Error Map", fontsize=14, fontweight="bold")
+        ax5 = fig.add_subplot(gs[1, 1])
+        ax5.imshow(p == 1, cmap="Greens", vmin=0, vmax=1)
+        ax5.set_title(CLASS_NAMES[1], fontsize=12, fontweight="bold")
+        ax6 = fig.add_subplot(gs[1, 2])
+        ax6.imshow(p == 2, cmap="Reds", vmin=0, vmax=1)
+        ax6.set_title(CLASS_NAMES[2], fontsize=12, fontweight="bold")
+        for ax in (ax1, ax2, ax3, ax4, ax5, ax6):
+            ax.axis("off")
+        ax7 = fig.add_subplot(gs[1, 3])
+        ax7.axis("off")
+        stats = (
+            "Sample Metrics:\n\n"
+            f"Accuracy: {(t == p).mean():.3f}\n\n"
+            f"{CLASS_NAMES[0]} IoU: {calculate_iou(p == 0, t == 0):.3f}\n"
+            f"{CLASS_NAMES[1]} IoU: {calculate_iou(p == 1, t == 1):.3f}\n"
+            f"{CLASS_NAMES[2]} IoU: {calculate_iou(p == 2, t == 2):.3f}\n\n"
+            f"Background: {(p == 0).sum()} px\n"
+            f"Live Cells: {(p == 1).sum()} px\n"
+            f"Dead Cells: {(p == 2).sum()} px\n"
+        )
+        ax7.text(0.1, 0.5, stats, fontsize=11, verticalalignment="center",
+                 bbox=dict(boxstyle="round", facecolor="wheat", alpha=0.5))
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_paper_fig4_detailed")
 
