@@ -345,26 +345,92 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_per_image_metrics")
 
     def plot_error_analysis(self, masks_true, masks_pred, model_name: str):
-        """False-positive / false-negative / class-swap breakdown per image
-        (visualization.py:1403-1516)."""
-        fp, fn, swap = [], [], []
+        """The reference's 2x2 error-analysis panel (visualization.py:
+        1403-1516): overall per-image error-rate histogram with mean line,
+        class-wise mean error bars with value labels, per-class error-rate
+        boxplots, and a row-normalized confusion heatmap; 255 = unlabeled
+        is excluded everywhere."""
+        num_classes = 3
+        all_errors = []
+        class_errors = [[] for _ in range(num_classes)]
+        confusion = np.zeros((num_classes, num_classes))
         for t, p in zip(masks_true, masks_pred):
             t = np.asarray(t); p = np.asarray(p)
-            fp.append(int(((t == 0) & (p > 0)).sum()))
-            fn.append(int(((t > 0) & (p == 0)).sum()))
-            swap.append(int(((t > 0) & (p > 0) & (t != p)).sum()))
-        x = np.arange(len(fp))
-        fig, axes = plt.subplots(1, 2, figsize=(13, 5))
-        axes[0].bar(x - 0.25, fp, 0.25, label="false positive")
-        axes[0].bar(x, fn, 0.25, label="false negative")
-        axes[0].bar(x + 0.25, swap, 0.25, label="class swap")
-        axes[0].set_xlabel("image"); axes[0].set_ylabel("pixels")
-        axes[0].legend(); axes[0].grid(alpha=0.3)
-        totals = [sum(fp), sum(fn), sum(swap)]
-        if sum(totals) == 0:
-            totals = [1, 0, 0]
-        axes[1].pie(totals, labels=("FP", "FN", "swap"), autopct="%1.1f%%")
-        fig.suptitle(f"{model_name} error analysis")
+            valid = t != 255
+            if valid.sum() == 0:
+                continue
+            all_errors.append(((t != p) & valid).sum() / valid.sum())
+            for c in range(num_classes):
+                cm = (t == c) & valid
+                if cm.sum() > 0:
+                    class_errors[c].append((t[cm] != p[cm]).sum() / cm.sum())
+            for tc in range(num_classes):
+                for pc in range(num_classes):
+                    confusion[tc, pc] += ((t == tc) & (p == pc) & valid).sum()
+
+        fig, axes = plt.subplots(2, 2, figsize=(15, 12))
+        # overall error histogram + mean line
+        axes[0, 0].hist(all_errors, bins=20, alpha=0.7, edgecolor="black")
+        if all_errors:
+            axes[0, 0].axvline(np.mean(all_errors), color="tab:red",
+                               linestyle="--", linewidth=2,
+                               label=f"Mean = {np.mean(all_errors):.3f}")
+            axes[0, 0].legend(frameon=True, shadow=True)
+        axes[0, 0].set_xlabel("Error Rate", fontsize=12, fontweight="bold")
+        axes[0, 0].set_ylabel("Frequency", fontsize=12, fontweight="bold")
+        axes[0, 0].set_title("Overall Error Distribution", fontsize=14,
+                             fontweight="bold")
+        # class-wise mean error bars with value labels
+        means = [np.mean(e) if e else 0 for e in class_errors]
+        x = np.arange(num_classes)
+        bars = axes[0, 1].bar(x, means, alpha=0.7, edgecolor="black",
+                              color=[CLASS_COLORS[c] * 0.8 + 0.2
+                                     for c in range(num_classes)])
+        axes[0, 1].set_xticks(x)
+        axes[0, 1].set_xticklabels(CLASS_NAMES, rotation=15, ha="right")
+        axes[0, 1].set_xlabel("Class", fontsize=12, fontweight="bold")
+        axes[0, 1].set_ylabel("Mean Error Rate", fontsize=12,
+                              fontweight="bold")
+        axes[0, 1].set_title("Class-wise Error Rates", fontsize=14,
+                             fontweight="bold")
+        for bar, v in zip(bars, means):
+            axes[0, 1].text(bar.get_x() + bar.get_width() / 2,
+                            bar.get_height(), f"{v:.3f}", ha="center",
+                            va="bottom", fontweight="bold")
+        # per-class boxplots
+        valid_e = [e for e in class_errors if e]
+        valid_l = [CLASS_NAMES[i] for i, e in enumerate(class_errors) if e]
+        if valid_e:
+            axes[1, 0].boxplot(valid_e, tick_labels=valid_l,
+                               patch_artist=True)
+        else:
+            axes[1, 0].text(0.5, 0.5, "No error data available",
+                            ha="center", va="center",
+                            transform=axes[1, 0].transAxes)
+        axes[1, 0].set_ylabel("Error Rate", fontsize=12, fontweight="bold")
+        axes[1, 0].set_title("Error Rate Distribution by Class",
+                             fontsize=14, fontweight="bold")
+        # row-normalized confusion heatmap
+        norm = confusion / (confusion.sum(axis=1, keepdims=True) + 1e-10)
+        im = axes[1, 1].imshow(norm, cmap="YlOrRd", aspect="auto")
+        axes[1, 1].set_xticks(x); axes[1, 1].set_yticks(x)
+        axes[1, 1].set_xticklabels(CLASS_NAMES, rotation=15, ha="right")
+        axes[1, 1].set_yticklabels(CLASS_NAMES)
+        for i in range(num_classes):
+            for j in range(num_classes):
+                axes[1, 1].text(j, i, f"{norm[i, j]:.2f}", ha="center",
+                                va="center",
+                                color="white" if norm[i, j] > 0.5 else "black")
+        axes[1, 1].set_xlabel("Predicted Class", fontsize=12,
+                              fontweight="bold")
+        axes[1, 1].set_ylabel("True Class", fontsize=12, fontweight="bold")
+        axes[1, 1].set_title("Normalized Confusion Heatmap", fontsize=14,
+                             fontweight="bold")
+        plt.colorbar(im, ax=axes[1, 1], label="Proportion")
+        for ax in (axes[0, 0], axes[0, 1], axes[1, 0]):
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_error_analysis")
 
