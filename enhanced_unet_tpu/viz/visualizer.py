@@ -307,22 +307,64 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_confusion_matrix")
 
     def plot_cell_statistics(self, masks_true, masks_pred, model_name: str):
-        """Pixel-count distributions per class, GT vs pred
-        (visualization.py:404-494)."""
-        stats = {c: {"gt": [], "pred": []} for c in (1, 2)}
-        for t, p in zip(masks_true, masks_pred):
-            for c in (1, 2):
-                stats[c]["gt"].append(int((np.asarray(t) == c).sum()))
-                stats[c]["pred"].append(int((np.asarray(p) == c).sum()))
-        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
-        for ax, c in zip(axes, (1, 2)):
-            x = np.arange(len(stats[c]["gt"]))
-            ax.bar(x - 0.2, stats[c]["gt"], 0.4, label="GT", alpha=0.8)
-            ax.bar(x + 0.2, stats[c]["pred"], 0.4, label="pred", alpha=0.8)
-            ax.set_title(f"{CLASS_NAMES[c]} pixels per image")
-            ax.set_xlabel("image"); ax.set_ylabel("pixels")
-            ax.legend(); ax.grid(alpha=0.3)
-        fig.suptitle(f"{model_name} cell statistics")
+        """The reference's 2x2 cell-statistics panel (visualization.py:
+        404-494): mean per-class pixel-count bars GT vs pred, live-ratio
+        scatter with the y=x perfect-prediction line, GT pixel-count
+        histograms, and per-class |pred-GT| pixel-error boxplots."""
+        true_counts = np.array([[np.sum(np.asarray(t) == c) for c in range(3)]
+                                for t in masks_true], dtype=np.float64)
+        pred_counts = np.array([[np.sum(np.asarray(p) == c) for c in range(3)]
+                                for p in masks_pred], dtype=np.float64)
+        fig, axes = plt.subplots(2, 2, figsize=(15, 12))
+        # class distribution comparison (mean pixel counts)
+        x = np.arange(3)
+        w = 0.35
+        axes[0, 0].bar(x - w / 2, true_counts.mean(axis=0), w,
+                       label="Ground Truth", alpha=0.8)
+        axes[0, 0].bar(x + w / 2, pred_counts.mean(axis=0), w,
+                       label="Prediction", alpha=0.8)
+        axes[0, 0].set_xticks(x)
+        axes[0, 0].set_xticklabels(CLASS_NAMES, rotation=15, ha="right")
+        axes[0, 0].set_xlabel("Class", fontsize=12, fontweight="bold")
+        axes[0, 0].set_ylabel("Average Pixel Count", fontsize=12,
+                              fontweight="bold")
+        axes[0, 0].set_title("Class Distribution Comparison", fontsize=14,
+                             fontweight="bold")
+        axes[0, 0].legend(frameon=True, shadow=True)
+        # live-ratio scatter vs perfect prediction
+        lt, dt = true_counts[:, 1], true_counts[:, 2]
+        lp, dp_ = pred_counts[:, 1], pred_counts[:, 2]
+        axes[0, 1].scatter(lt / (lt + dt + 1e-6), lp / (lp + dp_ + 1e-6),
+                           alpha=0.6, s=50)
+        axes[0, 1].plot([0, 1], [0, 1], "--", linewidth=2,
+                        label="Perfect Prediction")
+        axes[0, 1].set_xlabel("True Live Cell Ratio", fontsize=12,
+                              fontweight="bold")
+        axes[0, 1].set_ylabel("Predicted Live Cell Ratio", fontsize=12,
+                              fontweight="bold")
+        axes[0, 1].set_title("Live Cell Ratio Prediction", fontsize=14,
+                             fontweight="bold")
+        axes[0, 1].legend(frameon=True, shadow=True)
+        # GT pixel-count histograms
+        axes[1, 0].hist(lt, bins=20, alpha=0.6, label="Live Cells (GT)")
+        axes[1, 0].hist(dt, bins=20, alpha=0.6, label="Dead Cells (GT)")
+        axes[1, 0].set_xlabel("Pixel Count", fontsize=12, fontweight="bold")
+        axes[1, 0].set_ylabel("Frequency", fontsize=12, fontweight="bold")
+        axes[1, 0].set_title("Cell Count Distribution", fontsize=14,
+                             fontweight="bold")
+        axes[1, 0].legend(frameon=True, shadow=True)
+        # per-class absolute pixel-error boxplots
+        axes[1, 1].boxplot([np.abs(lp - lt), np.abs(dp_ - dt)],
+                           tick_labels=["Live Cells", "Dead Cells"],
+                           patch_artist=True)
+        axes[1, 1].set_ylabel("Prediction Error (Pixel Count)", fontsize=12,
+                              fontweight="bold")
+        axes[1, 1].set_title("Prediction Error Distribution", fontsize=14,
+                             fontweight="bold")
+        for ax in axes.flat:
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_cell_statistics")
 
