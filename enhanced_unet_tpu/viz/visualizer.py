@@ -27,6 +27,11 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
+try:  # the reference styles its heatmaps with seaborn; optional here
+    import seaborn as sns
+except Exception:  # pragma: no cover - seaborn is in the test env
+    sns = None
+
 # CJK figure labels (the paper fig1 column titles keep the reference's
 # Chinese strings, main.py:39-72 probes fonts for the same reason): use a
 # CJK-capable font when one is installed, otherwise silence the per-glyph
@@ -284,26 +289,41 @@ class Visualizer:
 
     # ----------------------------------------------------------- statistics
     def plot_confusion_matrix(self, masks_true, masks_pred, model_name: str):
-        """Pixel-level 3x3 confusion matrix, row-normalized
-        (visualization.py:294-340)."""
-        cm = np.zeros((3, 3), dtype=np.float64)
+        """The reference's dual-heatmap confusion figure (visualization.py:
+        294-340): absolute counts (Blues) and row-normalized percentages
+        (Greens) side by side, seaborn-annotated; 255=unlabeled filtered."""
+        cm = np.zeros((3, 3), dtype=np.int64)
         for t, p in zip(masks_true, masks_pred):
             t = np.asarray(t).ravel(); p = np.asarray(p).ravel()
-            idx = t * 3 + p
-            cm += np.bincount(idx, minlength=9).reshape(3, 3)
-        norm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
-        fig, ax = plt.subplots(figsize=(6, 5))
-        im = ax.imshow(norm, cmap="Blues", vmin=0, vmax=1)
-        for i in range(3):
-            for j in range(3):
-                ax.text(j, i, f"{norm[i, j]:.2f}\n({int(cm[i, j])})",
-                        ha="center", va="center", fontsize=8,
-                        color="white" if norm[i, j] > 0.5 else "black")
-        ax.set_xticks(range(3)); ax.set_xticklabels(CLASS_NAMES)
-        ax.set_yticks(range(3)); ax.set_yticklabels(CLASS_NAMES)
-        ax.set_xlabel("predicted"); ax.set_ylabel("true")
-        ax.set_title(f"{model_name} confusion matrix")
-        fig.colorbar(im)
+            valid = (t != 255) & (p != 255)
+            t = np.clip(t[valid], 0, 2); p = np.clip(p[valid], 0, 2)
+            cm += np.bincount(t * 3 + p, minlength=9).reshape(3, 3)
+        norm = cm.astype(np.float64) / (cm.sum(axis=1, keepdims=True) + 1e-6)
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(16, 7))
+        if sns is not None:
+            sns.heatmap(cm, annot=True, fmt="d", cmap="Blues",
+                        xticklabels=CLASS_NAMES, yticklabels=CLASS_NAMES,
+                        cbar_kws={"label": "Count"}, ax=ax1, square=True)
+            sns.heatmap(norm, annot=True, fmt=".2%", cmap="Greens",
+                        xticklabels=CLASS_NAMES, yticklabels=CLASS_NAMES,
+                        cbar_kws={"label": "Percentage"}, ax=ax2, square=True)
+        else:  # plain-matplotlib fallback
+            for ax, mat, cmap in ((ax1, cm, "Blues"), (ax2, norm, "Greens")):
+                im = ax.imshow(mat, cmap=cmap)
+                for i in range(3):
+                    for j in range(3):
+                        v = mat[i, j]
+                        ax.text(j, i, f"{v:d}" if mat is cm else f"{v:.2%}",
+                                ha="center", va="center", fontsize=9)
+                ax.set_xticks(range(3)); ax.set_xticklabels(CLASS_NAMES)
+                ax.set_yticks(range(3)); ax.set_yticklabels(CLASS_NAMES)
+                fig.colorbar(im, ax=ax)
+        for ax, kind in ((ax1, "Counts"), (ax2, "Normalized")):
+            ax.set_xlabel("Predicted Class", fontsize=12, fontweight="bold")
+            ax.set_ylabel("True Class", fontsize=12, fontweight="bold")
+            ax.set_title(f"{model_name} - Confusion Matrix ({kind})",
+                         fontsize=14, fontweight="bold")
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_confusion_matrix")
 
     def plot_cell_statistics(self, masks_true, masks_pred, model_name: str):
@@ -369,20 +389,46 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_cell_statistics")
 
     def plot_per_image_metrics(self, masks_true, masks_pred, model_name: str):
-        """Histogram of per-image IoU/Dice (visualization.py:1274-1357)."""
-        ious, dices = [], []
+        """The reference's three per-image histograms (visualization.py:
+        1274-1357): mean-over-present-classes IoU, Dice (union>0 classes
+        only), and pixel accuracy, each with a mean line; 255 excluded."""
+        if not len(masks_true) or not len(masks_pred):
+            return
+        ious, dices, accs = [], [], []
         for t, p in zip(masks_true, masks_pred):
-            m = calculate_semantic_metrics(np.asarray(p), np.asarray(t))
-            ious.append(m["sem_mean_iou"]); dices.append(m["sem_mean_dice"])
-        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
-        for ax, vals, name in zip(axes, (ious, dices), ("mIoU", "mDice")):
-            ax.hist(vals, bins=min(10, max(3, len(vals))), alpha=0.75,
-                    edgecolor="black")
-            ax.axvline(np.mean(vals), color="red", ls="--",
-                       label=f"mean {np.mean(vals):.3f}")
-            ax.set_xlabel(name); ax.set_ylabel("images"); ax.legend()
-            ax.grid(alpha=0.3)
-        fig.suptitle(f"{model_name} per-image metrics")
+            t = np.asarray(t); p = np.asarray(p)
+            valid = t != 255
+            if valid.sum() == 0:
+                continue
+            tv, pv = t[valid], p[valid]
+            accs.append((tv == pv).mean())
+            cious, cdices = [], []
+            for c in range(3):
+                tc, pc = tv == c, pv == c
+                union = (tc | pc).sum()
+                if union > 0:
+                    inter = (tc & pc).sum()
+                    cious.append(inter / union)
+                    cdices.append(2 * inter / (tc.sum() + pc.sum()))
+            if cious:
+                ious.append(np.mean(cious)); dices.append(np.mean(cdices))
+        fig, axes = plt.subplots(1, 3, figsize=(18, 5))
+        panels = ((ious, "IoU Score", "IoU Distribution"),
+                  (dices, "Dice Score", "Dice Distribution"),
+                  (accs, "Accuracy", "Accuracy Distribution"))
+        for ax, (vals, xlabel, title) in zip(axes, panels):
+            ax.hist(vals, bins=20, alpha=0.7, edgecolor="black")
+            if vals:
+                ax.axvline(np.mean(vals), color="tab:red", linestyle="--",
+                           linewidth=2, label=f"Mean = {np.mean(vals):.3f}")
+                ax.legend(frameon=True, shadow=True)
+            ax.set_xlabel(xlabel, fontsize=12, fontweight="bold")
+            ax.set_ylabel("Frequency", fontsize=12, fontweight="bold")
+            ax.set_title(f"{model_name} - {title}", fontsize=14,
+                         fontweight="bold")
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_per_image_metrics")
 
