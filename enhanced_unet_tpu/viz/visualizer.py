@@ -579,25 +579,56 @@ class Visualizer:
 
     def plot_calibration_curve(self, probs_all, masks_true, model_name: str,
                                n_bins: int = 10):
-        """Reliability diagram over max-prob (visualization.py:1819-1900)."""
-        confs, correct = [], []
-        for probs, t in zip(probs_all, masks_true):
-            probs = self._probs_hwc(probs)
-            pred = probs.argmax(-1)
-            confs.append(probs.max(-1).ravel())
-            correct.append((pred == np.asarray(t)).ravel())
-        confs = np.concatenate(confs); correct = np.concatenate(correct)
-        bins = np.linspace(0, 1, n_bins + 1)
-        mids, accs = [], []
-        for i in range(n_bins):
-            sel = (confs >= bins[i]) & (confs < bins[i + 1])
-            if sel.sum() > 0:
-                mids.append(confs[sel].mean()); accs.append(correct[sel].mean())
-        fig, ax = plt.subplots(figsize=(7, 6))
-        ax.plot([0, 1], [0, 1], "k--", alpha=0.4, label="perfect")
-        ax.plot(mids, accs, marker="o", label="model")
-        ax.set_xlabel("confidence"); ax.set_ylabel("accuracy"); ax.legend()
-        ax.set_title(f"{model_name} calibration"); ax.grid(alpha=0.3)
+        """The reference's calibration figure (visualization.py:1819-1900):
+        per-class reliability curves + per-class confidence histograms in a
+        1x3 layout whose third panel the reference leaves empty (kept for
+        artifact parity)."""
+        if probs_all is None or len(probs_all) == 0:
+            return
+        fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+        per_class_probs = {c: [] for c in range(3)}
+        for c in range(3):
+            labels = []
+            for probs, t in zip(probs_all, masks_true):
+                p = self._probs_hwc(probs)[..., c].ravel()
+                per_class_probs[c].append(p)
+                labels.append((np.asarray(t) == c).ravel())
+            cp = np.concatenate(per_class_probs[c])
+            cl = np.concatenate(labels)
+            edges = np.linspace(0, 1, n_bins + 1)
+            centers = (edges[:-1] + edges[1:]) / 2
+            confs, accs = [], []
+            for i in range(n_bins):
+                sel = (cp >= edges[i]) & (cp < edges[i + 1])
+                if sel.sum() > 0:
+                    confs.append(cp[sel].mean()); accs.append(cl[sel].mean())
+                else:
+                    confs.append(centers[i]); accs.append(0)
+            axes[0].plot(confs, accs, marker="o", linewidth=2.5,
+                         markersize=8, label=CLASS_NAMES[c])
+        axes[0].plot([0, 1], [0, 1], "k--", linewidth=2,
+                     label="Perfect Calibration")
+        axes[0].set_xlabel("Mean Predicted Probability", fontsize=12,
+                           fontweight="bold")
+        axes[0].set_ylabel("Fraction of Positives", fontsize=12,
+                           fontweight="bold")
+        axes[0].set_title("Calibration Curve", fontsize=14, fontweight="bold")
+        axes[0].legend(fontsize=10, frameon=True, shadow=True)
+        axes[0].grid(True, alpha=0.3, linestyle="--")
+        for c in range(3):
+            axes[1].hist(np.concatenate(per_class_probs[c]), bins=50,
+                         alpha=0.6, label=CLASS_NAMES[c], edgecolor="black")
+        axes[1].set_xlabel("Predicted Probability", fontsize=12,
+                           fontweight="bold")
+        axes[1].set_ylabel("Frequency", fontsize=12, fontweight="bold")
+        axes[1].set_title("Confidence Distribution", fontsize=14,
+                          fontweight="bold")
+        axes[1].legend(fontsize=10, frameon=True, shadow=True)
+        axes[1].grid(True, alpha=0.3, axis="y", linestyle="--")
+        for ax in axes[:2]:
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_calibration")
 
     def plot_boundary_accuracy(self, masks_true, masks_pred, model_name: str,
@@ -629,30 +660,48 @@ class Visualizer:
         """IoU stratified by GT instance size (visualization.py:1753-1817)."""
         from scipy import ndimage
 
-        buckets = {"small (<50px)": [], "medium (50-200px)": [], "large (>200px)": []}
+        # the reference's five size buckets, all three classes (background
+        # included), default 4-connectivity components, and per-object
+        # "IoU" = recall of the object's pixels (obj_pred.sum()/obj_size)
+        size_ranges = [(0, 100), (100, 500), (500, 1000), (1000, 5000),
+                       (5000, float("inf"))]
+        range_labels = ["Tiny\n(0-100)", "Small\n(100-500)",
+                        "Medium\n(500-1K)", "Large\n(1K-5K)", "Huge\n(5K+)"]
+        ious_by_size = [[] for _ in size_ranges]
         for t, p in zip(masks_true, masks_pred):
             t = np.asarray(t); p = np.asarray(p)
-            for c in (1, 2):
-                lab, n = ndimage.label(t == c, structure=np.ones((3, 3)))
+            for c in range(3):
+                lab, n = ndimage.label(t == c)
+                pred_c = (p == c)
                 for i in range(1, n + 1):
-                    inst = lab == i
-                    a = inst.sum()
-                    iou = calculate_iou(inst & (p == c), inst)
-                    if a < 50:
-                        buckets["small (<50px)"].append(iou)
-                    elif a <= 200:
-                        buckets["medium (50-200px)"].append(iou)
-                    else:
-                        buckets["large (>200px)"].append(iou)
-        fig, ax = plt.subplots(figsize=(8, 5))
-        names = list(buckets)
-        ax.bar(names, [np.mean(v) if v else 0 for v in buckets.values()], alpha=0.8)
-        for i, v in enumerate(buckets.values()):
-            ax.text(i, (np.mean(v) if v else 0) + 0.01, f"n={len(v)}",
-                    ha="center", fontsize=8)
-        ax.set_ylabel("recall IoU")
-        ax.set_title(f"{model_name} size-stratified performance")
-        ax.grid(alpha=0.3)
+                    obj = lab == i
+                    size = obj.sum()
+                    iou = pred_c[obj].sum() / size if size > 0 else 0
+                    for b, (lo, hi) in enumerate(size_ranges):
+                        if lo <= size < hi:
+                            ious_by_size[b].append(iou)
+                            break
+        fig, ax = plt.subplots(figsize=(12, 6))
+        valid = [(d, l) for d, l in zip(ious_by_size, range_labels) if d]
+        if valid:
+            bp = ax.boxplot([d for d, _ in valid],
+                            tick_labels=[l for _, l in valid],
+                            patch_artist=True, widths=0.6)
+            for patch in bp["boxes"]:
+                patch.set_alpha(0.7)
+                patch.set_edgecolor("black")
+                patch.set_linewidth(2)
+            for median in bp["medians"]:
+                median.set_color("red")
+                median.set_linewidth(2)
+        ax.set_xlabel("Object Size (pixels)", fontsize=12, fontweight="bold")
+        ax.set_ylabel("IoU Score", fontsize=12, fontweight="bold")
+        ax.set_title(f"{model_name} - Performance by Object Size",
+                     fontsize=14, fontweight="bold")
+        ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_size_performance")
 
     # ----------------------------------------------------------- paper figs
