@@ -523,18 +523,37 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_error_analysis")
 
     def plot_class_distribution(self, masks_true, masks_pred, model_name: str):
-        """Overall class pixel shares, GT vs pred (visualization.py:1629-1684)."""
+        """The reference's two-panel class distribution (visualization.py:
+        1629-1684): absolute pixel counts and percentages, GT vs pred."""
         gt = np.zeros(3); pr = np.zeros(3)
         for t, p in zip(masks_true, masks_pred):
-            gt += np.bincount(np.asarray(t).ravel(), minlength=3)[:3]
-            pr += np.bincount(np.asarray(p).ravel(), minlength=3)[:3]
+            gt += np.bincount(np.clip(np.asarray(t).ravel(), 0, 3),
+                              minlength=4)[:3]
+            pr += np.bincount(np.clip(np.asarray(p).ravel(), 0, 3),
+                              minlength=4)[:3]
         x = np.arange(3)
-        fig, ax = plt.subplots(figsize=(8, 5))
-        ax.bar(x - 0.2, gt / max(gt.sum(), 1), 0.4, label="GT")
-        ax.bar(x + 0.2, pr / max(pr.sum(), 1), 0.4, label="pred")
-        ax.set_xticks(x); ax.set_xticklabels(CLASS_NAMES)
-        ax.set_ylabel("pixel share"); ax.legend(); ax.grid(alpha=0.3)
-        ax.set_title(f"{model_name} class distribution")
+        w = 0.35
+        fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+        panels = (
+            (gt, pr, "Pixel Count", "Class Distribution Comparison"),
+            (gt / (gt.sum() + 1e-6) * 100, pr / (pr.sum() + 1e-6) * 100,
+             "Percentage (%)", "Class Distribution Percentage"),
+        )
+        for ax, (a, b, ylabel, title) in zip(axes, panels):
+            ax.bar(x - w / 2, a, w, label="Ground Truth", alpha=0.8,
+                   edgecolor="black")
+            ax.bar(x + w / 2, b, w, label="Prediction", alpha=0.8,
+                   edgecolor="black")
+            ax.set_xticks(x)
+            ax.set_xticklabels(CLASS_NAMES, rotation=15, ha="right")
+            ax.set_xlabel("Class", fontsize=12, fontweight="bold")
+            ax.set_ylabel(ylabel, fontsize=12, fontweight="bold")
+            ax.set_title(title, fontsize=14, fontweight="bold")
+            ax.legend(fontsize=10, frameon=True, shadow=True)
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_class_distribution")
 
     def plot_feature_importance(self, masks_true, masks_pred, images,
@@ -631,28 +650,51 @@ class Visualizer:
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_calibration")
 
-    def plot_boundary_accuracy(self, masks_true, masks_pred, model_name: str,
-                               boundary_width: int = 2):
-        """Boundary-band vs interior IoU (visualization.py:1687-1751)."""
-        from scipy import ndimage
+    def plot_boundary_accuracy(self, masks_true, masks_pred, model_name: str):
+        """The reference's boundary-vs-interior IoU boxplots
+        (visualization.py:1687-1751): per (image, class) — all three
+        classes — boundary = dilation minus erosion, interior = 2-iteration
+        erosion, IoU of GT vs pred regions; red medians and mean labels."""
+        from scipy.ndimage import binary_dilation, binary_erosion
 
-        b_iou, i_iou = [], []
+        boundary_ious, interior_ious = [], []
         for t, p in zip(masks_true, masks_pred):
             t = np.asarray(t); p = np.asarray(p)
-            cells = t > 0
-            er = ndimage.binary_erosion(cells, iterations=boundary_width)
-            boundary = cells & ~er
-            interior = er
-            for region, acc in ((boundary, b_iou), (interior, i_iou)):
-                if region.sum() > 0:
-                    acc.append(float((t[region] == p[region]).mean()))
-        fig, ax = plt.subplots(figsize=(7, 5))
-        ax.bar(["boundary", "interior"],
-               [np.mean(b_iou) if b_iou else 0, np.mean(i_iou) if i_iou else 0],
-               alpha=0.8, color=["tab:orange", "tab:blue"])
-        ax.set_ylabel("pixel accuracy")
-        ax.set_title(f"{model_name} boundary vs interior accuracy")
-        ax.grid(alpha=0.3)
+            for c in range(3):
+                tm, pm = t == c, p == c
+                if tm.sum() == 0:
+                    continue
+                tb = binary_dilation(tm) & ~binary_erosion(tm)
+                pb = binary_dilation(pm) & ~binary_erosion(pm)
+                ti = binary_erosion(tm, iterations=2)
+                pi = binary_erosion(pm, iterations=2)
+                if tb.sum() > 0:
+                    boundary_ious.append((tb & pb).sum() / (tb | pb).sum())
+                if ti.sum() > 0:
+                    interior_ious.append((ti & pi).sum() / (ti | pi).sum())
+        fig, ax = plt.subplots(figsize=(10, 6))
+        data = [boundary_ious or [0.0], interior_ious or [0.0]]
+        labels = ["Boundary", "Interior"]
+        bp = ax.boxplot(data, tick_labels=labels, patch_artist=True,
+                        widths=0.6)
+        for patch in bp["boxes"]:
+            patch.set_alpha(0.7)
+            patch.set_edgecolor("black")
+            patch.set_linewidth(2)
+        for median in bp["medians"]:
+            median.set_color("red")
+            median.set_linewidth(2)
+        for i, d in enumerate(data):
+            ax.text(i + 1, np.mean(d), f"μ={np.mean(d):.3f}", ha="center",
+                    va="bottom", fontweight="bold", fontsize=10,
+                    bbox=dict(boxstyle="round", facecolor="white", alpha=0.8))
+        ax.set_ylabel("IoU Score", fontsize=12, fontweight="bold")
+        ax.set_title(f"{model_name} - Boundary vs Interior Accuracy",
+                     fontsize=14, fontweight="bold")
+        ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_boundary_accuracy")
 
     def plot_size_based_performance(self, masks_true, masks_pred,
