@@ -572,28 +572,51 @@ class Visualizer:
 
     # ------------------------------------------------------ curve analyses
     def plot_roc_curves(self, probs_all, masks_true, model_name: str):
-        """One-vs-rest ROC per class (visualization.py:1096-1147)."""
-        fig, ax = plt.subplots(figsize=(7, 6))
+        """One-vs-rest ROC per class, one subplot each as in the reference
+        (visualization.py:1096-1147), with the random-classifier diagonal."""
+        fig, axes = plt.subplots(1, 3, figsize=(18, 6))
         for c in range(3):
             scores, labels = self._flatten_class(probs_all, masks_true, c)
             fpr, tpr = _roc(labels, scores)
             auc = float(np.trapezoid(tpr, fpr))
-            ax.plot(fpr, tpr, label=f"{CLASS_NAMES[c]} (AUC {auc:.3f})")
-        ax.plot([0, 1], [0, 1], "k--", alpha=0.4)
-        ax.set_xlabel("FPR"); ax.set_ylabel("TPR"); ax.legend()
-        ax.set_title(f"{model_name} ROC"); ax.grid(alpha=0.3)
+            ax = axes[c]
+            ax.plot(fpr, tpr, linewidth=2.5,
+                    label=f"ROC curve (AUC = {auc:.3f})")
+            ax.plot([0, 1], [0, 1], "k--", linewidth=2,
+                    label="Random Classifier")
+            ax.set_xlabel("False Positive Rate", fontsize=12,
+                          fontweight="bold")
+            ax.set_ylabel("True Positive Rate", fontsize=12,
+                          fontweight="bold")
+            ax.set_title(f"{CLASS_NAMES[c]} ROC Curve", fontsize=14,
+                         fontweight="bold")
+            ax.legend(loc="lower right", frameon=True, shadow=True)
+            ax.grid(True, alpha=0.3, linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_roc_curves")
 
     def plot_pr_curves(self, probs_all, masks_true, model_name: str):
-        """One-vs-rest precision/recall per class (visualization.py:1149-1199)."""
-        fig, ax = plt.subplots(figsize=(7, 6))
+        """One-vs-rest precision/recall per class, one subplot each
+        (visualization.py:1149-1199)."""
+        fig, axes = plt.subplots(1, 3, figsize=(18, 6))
         for c in range(3):
             scores, labels = self._flatten_class(probs_all, masks_true, c)
             prec, rec = _pr(labels, scores)
-            ap = float(-np.trapezoid(prec, rec)) if len(rec) > 1 else 0.0
-            ax.plot(rec, prec, label=f"{CLASS_NAMES[c]} (AP {abs(ap):.3f})")
-        ax.set_xlabel("recall"); ax.set_ylabel("precision"); ax.legend()
-        ax.set_title(f"{model_name} PR"); ax.grid(alpha=0.3)
+            ap = abs(float(-np.trapezoid(prec, rec))) if len(rec) > 1 else 0.0
+            ax = axes[c]
+            ax.plot(rec, prec, linewidth=2.5,
+                    label=f"PR curve (AP = {ap:.3f})")
+            ax.set_xlabel("Recall", fontsize=12, fontweight="bold")
+            ax.set_ylabel("Precision", fontsize=12, fontweight="bold")
+            ax.set_title(f"{CLASS_NAMES[c]} PR Curve", fontsize=14,
+                         fontweight="bold")
+            ax.legend(loc="lower left", frameon=True, shadow=True)
+            ax.grid(True, alpha=0.3, linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_pr_curves")
 
     def plot_calibration_curve(self, probs_all, masks_true, model_name: str,
@@ -1123,8 +1146,10 @@ class Visualizer:
         scores, labels = [], []
         for probs, t in zip(probs_all, masks_true):
             p = self._probs_hwc(probs)
-            scores.append(p[..., c].ravel())
-            labels.append((np.asarray(t).ravel() == c))
+            t = np.asarray(t).ravel()
+            valid = t != 255  # ignore-index filter (visualization.py:1110)
+            scores.append(p[..., c].ravel()[valid])
+            labels.append(t[valid] == c)
         scores = np.concatenate(scores); labels = np.concatenate(labels)
         if scores.size > max_px:  # subsample for plot speed
             idx = np.random.default_rng(0).choice(scores.size, max_px,
