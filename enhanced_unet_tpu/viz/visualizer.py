@@ -268,21 +268,27 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_sample_grid")
 
     def visualize_predictions(self, images, masks_true, masks_pred,
-                              filenames, model_name: str, max_rows: int = 4):
-        """Overlay predictions on the input (visualization.py:342-389)."""
-        n = min(len(images), max_rows)
-        fig, axes = plt.subplots(n, 2, figsize=(10, 4 * n), squeeze=False)
+                              filenames, model_name: str,
+                              num_samples: int = 8):
+        """The reference's per-sample 4-column prediction figure
+        (visualization.py:342-389): [original | GT | prediction |
+        0.6/0.4 overlay], up to 8 rows."""
+        n = min(num_samples, len(images))
+        fig, axes = plt.subplots(n, 4, figsize=(16, 4 * n), squeeze=False)
         for i in range(n):
             img = _to_img(images[i])
-            for j, (mask, title) in enumerate(
-                ((masks_true[i], "GT overlay"), (masks_pred[i], "pred overlay"))
-            ):
-                color = self._colorize_mask(mask)
-                over = np.where(
-                    np.asarray(mask)[..., None] > 0, 0.5 * img + 0.5 * color, img
-                )
-                axes[i, j].imshow(np.clip(over, 0, 1))
-                axes[i, j].set_title(f"{title} — {filenames[i]}", fontsize=8)
+            axes[i, 0].imshow(img)
+            axes[i, 0].set_title(f"Original Image\n{filenames[i]}",
+                                 fontsize=10, fontweight="bold")
+            axes[i, 1].imshow(self._colorize_mask(masks_true[i]))
+            axes[i, 1].set_title("Ground Truth", fontsize=10,
+                                 fontweight="bold")
+            pred_colored = self._colorize_mask(masks_pred[i])
+            axes[i, 2].imshow(pred_colored)
+            axes[i, 2].set_title("Prediction", fontsize=10, fontweight="bold")
+            axes[i, 3].imshow(np.clip(img * 0.6 + pred_colored * 0.4, 0, 1))
+            axes[i, 3].set_title("Overlay", fontsize=10, fontweight="bold")
+            for j in range(4):
                 axes[i, j].axis("off")
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_predictions")
@@ -564,10 +570,21 @@ class Visualizer:
             correct = (np.asarray(t) == np.asarray(p)).astype(np.float64)
             acc = correct if acc is None else acc + correct
         acc = acc / max(len(masks_true), 1)
-        fig, ax = plt.subplots(figsize=(7, 6))
-        im = ax.imshow(acc, cmap="RdYlGn", vmin=0, vmax=1)
-        ax.set_title(f"{model_name} spatial accuracy")
-        fig.colorbar(im)
+        # the reference's two panels: accuracy (RdYlGn) + error (hot)
+        fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+        im1 = axes[0].imshow(acc, cmap="RdYlGn", vmin=0, vmax=1)
+        axes[0].set_title("Spatial Accuracy Heatmap", fontsize=14,
+                          fontweight="bold")
+        axes[0].axis("off")
+        plt.colorbar(im1, ax=axes[0], label="Accuracy", fraction=0.046,
+                     pad=0.04)
+        im2 = axes[1].imshow(1 - acc, cmap="hot", vmin=0, vmax=1)
+        axes[1].set_title("Spatial Error Heatmap", fontsize=14,
+                          fontweight="bold")
+        axes[1].axis("off")
+        plt.colorbar(im2, ax=axes[1], label="Error Rate", fraction=0.046,
+                     pad=0.04)
+        fig.tight_layout()
         self._save_figure(fig, f"{model_name}_spatial_analysis")
 
     # ------------------------------------------------------ curve analyses
