@@ -924,34 +924,104 @@ class Visualizer:
         if not comparison_data:
             return
         x = np.arange(len(comparison_data))
-        gl = [d["gt_live_count"] for d in comparison_data]
-        pl = [d["pred_live_count"] for d in comparison_data]
-        gd = [d["gt_dead_count"] for d in comparison_data]
-        pd_ = [d["pred_dead_count"] for d in comparison_data]
-        gv = [d["gt_viability"] for d in comparison_data]
-        pv = [d["pred_viability"] for d in comparison_data]
-        fig, axes = plt.subplots(3, 1, figsize=(max(8, len(x) * 0.6), 12))
-        axes[0].bar(x - 0.2, gl, 0.4, label="GT live")
-        axes[0].bar(x + 0.2, pl, 0.4, label="pred live")
-        axes[0].set_ylabel("live cells"); axes[0].legend(); axes[0].grid(alpha=0.3)
-        axes[1].bar(x - 0.2, gd, 0.4, label="GT dead", color="tab:red", alpha=0.7)
-        axes[1].bar(x + 0.2, pd_, 0.4, label="pred dead", color="tab:orange")
-        axes[1].set_ylabel("dead cells"); axes[1].legend(); axes[1].grid(alpha=0.3)
-        axes[2].plot(x, gv, marker="o", label="GT viability %")
-        axes[2].plot(x, pv, marker="s", label="pred viability %")
-        axes[2].set_ylabel("viability %"); axes[2].set_xlabel("image")
-        axes[2].legend(); axes[2].grid(alpha=0.3)
-        fig.suptitle(f"{model_name} cell count comparison")
-        fig.tight_layout()
+        gl = np.array([d["gt_live_count"] for d in comparison_data], float)
+        pl = np.array([d["pred_live_count"] for d in comparison_data], float)
+        gd = np.array([d["gt_dead_count"] for d in comparison_data], float)
+        pd_ = np.array([d["pred_dead_count"] for d in comparison_data], float)
+        gv = np.array([d["gt_viability"] for d in comparison_data], float)
+        pv = np.array([d["pred_viability"] for d in comparison_data], float)
+
+        fig = plt.figure(figsize=(20, 16))
+        gs = fig.add_gridspec(3, 3, hspace=0.3, wspace=0.3)
+        w = 0.35
+        # row 0: per-image bars (live / dead / viability), 实际 vs 预测
+        bars = ((gl, pl, "活细胞数量对比", "数量"),
+                (gd, pd_, "死细胞数量对比", "数量"),
+                (gv, pv, "细胞活力对比", "活力 (%)"))
+        for col, (a, b, title, ylabel) in enumerate(bars):
+            ax = fig.add_subplot(gs[0, col])
+            ax.bar(x - w / 2, a, w, label="实际", alpha=0.8)
+            ax.bar(x + w / 2, b, w, label="预测", alpha=0.8)
+            ax.set_title(title, fontsize=14, fontweight="bold")
+            ax.set_ylabel(ylabel, fontsize=12)
+            ax.set_xlabel("图像编号", fontsize=12)
+            ax.legend(); ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+        # row 1: pred-vs-GT scatters with the ideal line and Pearson R
+        scatters = ((gl, pl, "活细胞数量：预测 vs 实际", None),
+                    (gd, pd_, "死细胞数量：预测 vs 实际", None),
+                    (gv, pv, "细胞活力：预测 vs 实际", 100.0))
+        for col, (a, b, title, fixed_max) in enumerate(scatters):
+            ax = fig.add_subplot(gs[1, col])
+            ax.scatter(a, b, s=100, alpha=0.7, edgecolors="black",
+                       linewidth=1.5)
+            mx = fixed_max if fixed_max is not None else max(
+                a.max() if a.size else 1, b.max() if b.size else 1)
+            ax.plot([0, mx], [0, mx], "r--", linewidth=2, alpha=0.5,
+                    label="理想线")
+            if a.size > 1 and a.std() > 0 and b.std() > 0:
+                r = float(np.corrcoef(a, b)[0, 1])
+                ax.text(0.05, 0.95, f"R = {r:.3f}", transform=ax.transAxes,
+                        fontsize=11, fontweight="bold", va="top",
+                        bbox=dict(boxstyle="round", facecolor="white",
+                                  alpha=0.8))
+            ax.set_title(title, fontsize=14, fontweight="bold")
+            ax.set_xlabel("实际", fontsize=12); ax.set_ylabel("预测", fontsize=12)
+            ax.legend(); ax.grid(True, alpha=0.3, linestyle="--")
+        # row 2: the color-coded detail table (visualization.py:2350-2420)
+        ax7 = fig.add_subplot(gs[2, :])
+        ax7.axis("tight"); ax7.axis("off")
+        rows = []
+        for i, d in enumerate(comparison_data):
+            name = d["filename"]
+            rows.append([
+                f"#{i + 1}",
+                name[:20] + "..." if len(name) > 20 else name,
+                f"{d['gt_live_count']}", f"{d['pred_live_count']}",
+                f"{d['gt_dead_count']}", f"{d['pred_dead_count']}",
+                f"{d['gt_viability']:.2f}%", f"{d['pred_viability']:.2f}%",
+                f"{d['live_error']:+d}", f"{d['dead_error']:+d}",
+                f"{d['viability_error']:+.2f}%",
+            ])
+        columns = ["编号", "图像文件名", "实际活细胞", "预测活细胞",
+                   "实际死细胞", "预测死细胞", "实际活力", "预测活力",
+                   "活细胞误差", "死细胞误差", "活力误差"]
+        table = ax7.table(cellText=rows, colLabels=columns, cellLoc="center",
+                          loc="center", bbox=[0, 0, 1, 1])
+        table.auto_set_font_size(False)
+        table.set_fontsize(9)
+        table.scale(1, 1.5)
+        for j in range(len(columns)):
+            table[(0, j)].set_facecolor("#4A90E2")
+            table[(0, j)].set_text_props(weight="bold", color="white")
+
+        def _err_color(err, small, mid):
+            err = abs(err)
+            return ("#90EE90" if err <= small
+                    else "#FFE4B5" if err <= mid else "#FFB6C1")
+
+        for i in range(1, len(rows) + 1):
+            d = comparison_data[i - 1]
+            for j in range(len(columns)):
+                table[(i, j)].set_facecolor(
+                    "#F0F0F0" if i % 2 == 0 else "white")
+            table[(i, 8)].set_facecolor(_err_color(d["live_error"], 2, 5))
+            table[(i, 9)].set_facecolor(_err_color(d["dead_error"], 2, 5))
+            table[(i, 10)].set_facecolor(
+                _err_color(d["viability_error"], 5, 10))
+        ax7.set_title(f"{model_name} - 每张图像的细胞数量和细胞活力详细对比",
+                      fontsize=16, fontweight="bold", pad=20)
+        fig.suptitle(f"{model_name} - 实际 vs 预测对比分析", fontsize=18,
+                     fontweight="bold", y=0.995)
         self._save_figure(fig, f"{model_name}_cell_count_comparison")
 
+        # CSV with utf-8-sig, the reference's Excel-compatible encoding
         csv_path = os.path.join(
             self.save_dir, f"{model_name}_cell_count_comparison.csv"
         )
-        with open(csv_path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(comparison_data[0]))
-            w.writeheader()
-            w.writerows(comparison_data)
+        with open(csv_path, "w", newline="", encoding="utf-8-sig") as f:
+            w_ = csv.DictWriter(f, fieldnames=list(comparison_data[0]))
+            w_.writeheader()
+            w_.writerows(comparison_data)
 
     # --------------------------------------------------- cross-model suite
     def plot_model_comparison(self, results: Dict[str, Dict]):
