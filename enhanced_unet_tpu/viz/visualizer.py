@@ -106,7 +106,12 @@ class Visualizer:
 
     # ------------------------------------------------------- training curves
     def plot_training_curves(self, history: Dict, model_name: str):
-        """Loss + per-class IoU/Dice curves (visualization.py:121-195)."""
+        """Loss + per-class IoU/Dice curves (visualization.py:121-195).
+
+        Documented deviation: the reference's second panel is an "Accuracy
+        Curve" fed all-zero placeholders (train_eval.py:1334-1335); the
+        fourth panel here plots cell mIoU instead of reproducing that
+        zero plot."""
         fig, axes = plt.subplots(2, 2, figsize=(14, 10))
         fig.suptitle(f"{model_name} training", fontsize=14, fontweight="bold")
         ax = axes[0, 0]
