@@ -112,3 +112,31 @@ def test_tp_train_step_matches_single_program():
     # re-gather): the updated param still has 1/4-width addressable shards
     k_tp = state_tp.params["DoubleConv_3"]["ConvBNAct_0"]["Conv_0"]["kernel"]
     assert (k_tp.addressable_shards[0].data.shape[3] == k_tp.shape[3] // 4)
+
+
+@pytest.mark.slow
+def test_tp_forward_flagship():
+    """The dual-branch flagship under TP: the fusion head's 6->256 conv
+    column-splits and its 256->128 successor row-splits; forward equals
+    the unsharded model (b0 encoders keep the CPU compile tractable)."""
+    model = get_model(
+        "enhanced_unet", dtype=jnp.float32,
+        encoder_names=("efficientnet-b0", "efficientnet-b0"))
+    x = jnp.asarray(np.random.default_rng(2).random((2, 64, 64, 3)),
+                    jnp.float32)
+    variables = _init(model, (1, 64, 64, 3))
+    ref, _ = model.apply(variables, x, train=False)
+
+    specs = tp_param_specs(variables["params"], min_channels=128)
+    assert specs["ConvBNAct_0"]["Conv_0"]["kernel"] == P(
+        None, None, None, "model")
+    assert specs["ConvBNAct_1"]["Conv_0"]["kernel"] == P(
+        None, None, "model", None)
+
+    mesh = make_mesh_2d(2, 4)
+    params_tp = shard_params_tp(variables["params"], mesh, min_channels=128)
+    fwd = make_tp_apply(model, mesh)
+    out = fwd({"params": params_tp,
+               "batch_stats": variables.get("batch_stats", {})}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
