@@ -410,6 +410,7 @@ def evaluate_model(
     tiled: bool = False,
     tile: int = 512,
     overlap: int = 64,
+    eval_batch_size: int = 1,
     log=print,
 ) -> Dict:
     """Evaluate one model on the val split (reference train_eval.py:1165-1543),
@@ -417,14 +418,20 @@ def evaluate_model(
 
     tiled=True evaluates with full-resolution sliding-window inference
     (tile/overlap knobs) instead of whole-image forwards — the TPU-native
-    alternative to the reference's downscale-to-640 (dataset.py:143-158)."""
+    alternative to the reference's downscale-to-640 (dataset.py:143-158).
+
+    eval_batch_size>1 batches the device half of the eval pipeline
+    (enhance->TTA->cascade) over same-shape image groups — identical
+    results to the reference's per-image loop (train_eval.py:1180 bs=1),
+    one device round-trip per group instead of per image."""
     cfg = cfg or get_preset(model_name, data_dir=data_dir)
     save_dir = os.path.join(results_dir, model_name)
     os.makedirs(save_dir, exist_ok=True)
 
     val_ds = CellDataset(data_dir, split="val", max_size=max_size)
     pad_shape = _pad_shape(max_size)
-    val_loader = BatchLoader(val_ds, 1, pad_shape, train=False, preprocess=False)
+    val_loader = BatchLoader(val_ds, eval_batch_size, pad_shape, train=False,
+                             preprocess=False)
 
     state = _build_state(model_name, cfg, 1, pad_shape, dtype)
     ckpt = checkpoint_path or os.path.join("checkpoints", model_name, "best_model")

@@ -260,7 +260,29 @@ class Evaluator:
         image_counter = 0
 
         for batch in loader:
-            for i, item in enumerate(batch["batch_items"][: batch["n_real"]]):
+            items = batch["batch_items"][: batch["n_real"]]
+            # device half batched by shape group (one forward per group
+            # instead of one device round-trip per image); host morphology
+            # and metrics stay per-image below.  Per-image and batched
+            # pipelines are pinned equal (tests/test_round2_features.py).
+            preds: List[Optional[np.ndarray]] = [None] * len(items)
+            if not self.tiled and len(items) > 1:
+                groups: Dict[tuple, List[int]] = {}
+                for idx, item in enumerate(items):
+                    groups.setdefault(
+                        tuple(np.asarray(item["image"]).shape), []
+                    ).append(idx)
+                for shape, idxs in groups.items():
+                    if len(idxs) == 1:
+                        continue  # single pipeline below (no batch compile)
+                    imgs = np.stack([
+                        np.asarray(items[j]["image"], np.float32)
+                        for j in idxs
+                    ])
+                    for j, m in zip(idxs, self.predict_semantic_masks(imgs)):
+                        preds[j] = np.asarray(m)
+
+            for i, item in enumerate(items):
                 image01 = np.asarray(item["image"], np.float32)
                 gt_instance_masks = item["instance_masks"]
                 gt_instance_labels = item["instance_labels"]
@@ -269,7 +291,8 @@ class Evaluator:
                 img_id = image_counter
                 image_counter += 1
 
-                pred_semantic = self.predict_semantic_mask(image01)
+                pred_semantic = (preds[i] if preds[i] is not None
+                                 else self.predict_semantic_mask(image01))
 
                 for k, v in calculate_semantic_metrics(
                     pred_semantic, gt_semantic

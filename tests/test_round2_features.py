@@ -244,3 +244,19 @@ def test_evaluator_batched_matches_per_image(rng):
         for i in range(3):
             single = ev.predict_semantic_mask(imgs[i])
             np.testing.assert_array_equal(batched[i], single)
+
+
+def test_evaluate_grouped_batching_matches_per_image(data_dir):
+    """Evaluator.evaluate with a batch>1 loader (device half grouped by
+    shape) produces the identical metric dict to the reference-exact
+    batch-1 loop (VERDICT r2 weak #8)."""
+    state = _tiny_state()
+    ds = CellDataset(data_dir, split="val", max_size=96)
+    ev = Evaluator(state, "unet_basic", verbose=False)
+    m1 = ev.evaluate(BatchLoader(ds, 1, (96, 96), train=False,
+                                 preprocess=False))
+    m4 = ev.evaluate(BatchLoader(ds, 4, (96, 96), train=False,
+                                 preprocess=False))
+    for k, v in m1.items():
+        np.testing.assert_allclose(m4[k], v, rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
