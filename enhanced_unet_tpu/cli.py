@@ -100,6 +100,10 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--tile", type=int, default=512)
     parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument(
+        "--eval-batch", type=int, default=1,
+        help="batch the eval pipeline over same-shape image groups "
+             "(1 = the reference's per-image loop; results identical)")
     args = parser.parse_args(argv)
 
     if args.distributed:
@@ -161,6 +165,7 @@ def main(argv=None) -> int:
                         tiled=args.tiled,
                         tile=args.tile,
                         overlap=args.overlap,
+                        eval_batch_size=args.eval_batch,
                     )
                 else:
                     results = dict(ZERO_RESULTS)

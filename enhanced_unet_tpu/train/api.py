@@ -139,9 +139,13 @@ def train_model(
     )
     # the full Evaluator preprocesses each image itself at native size
     # (evaluator.py predict_semantic_mask), so its loader skips the padded
-    # device preprocess; the quick gate uses the on-device enhance instead
+    # device preprocess; the quick gate uses the on-device enhance instead.
+    # Gate batches ride cfg.batch_size: the full gate groups same-shape
+    # images onto one device round-trip (Evaluator.evaluate; identical
+    # metrics to the reference's bs-1 loop, pinned by test), the quick
+    # gate's confusion-matrix sums are batch-size-invariant by definition.
     val_loader = BatchLoader(
-        val_ds, 1, pad_shape, train=False,
+        val_ds, cfg.batch_size, pad_shape, train=False,
         preprocess=not use_full_evaluator_gate,
     )
 
