@@ -63,9 +63,9 @@ class BatchLoader:
     padding (the reference preprocesses each image at native size).  With
     the standard /32-snapped uniform max_size pipeline no padding exists
     and the two agree; mixed-size datasets trade this shift for a single
-    compiled program.  Batch-1 EVAL loaders (the validation gate) enhance
-    at native size before padding, so the gate matches the reference's
-    per-image preprocess exactly.
+    compiled program.  EVAL loaders enhance at native size before padding
+    (batched per same-shape group), so eval preprocessing matches the
+    reference's per-image preprocess exactly at any batch size.
     """
 
     def __init__(
@@ -209,21 +209,26 @@ class BatchLoader:
                     jnp.asarray(dead),
                     jnp.asarray(masks),
                 )
-            elif self.preprocess and self.batch_size == 1:
-                # batch-1 eval: enhance at NATIVE size (the reference's
-                # per-image preprocess, train_eval.py:380-392) so CLAHE tile
-                # histograms never see the zero padding; one compile per
-                # distinct image shape (val sets share one snapped shape)
-                h, w = items[0]["semantic_mask"].shape
-                native = _eval_device_pipeline(
-                    jnp.asarray(items[0]["image_u8"], jnp.float32)[None]
-                )
-                imgs_np = np.zeros((bs, ph, pw, 3), np.float32)
-                imgs_np[0, :h, :w] = np.asarray(native[0])
-                imgs_d = jnp.asarray(imgs_np)
-                masks_d = jnp.asarray(masks)
             elif self.preprocess:
-                imgs_d = _eval_device_pipeline(jnp.asarray(images))
+                # eval: enhance at NATIVE size (the reference's per-image
+                # preprocess, train_eval.py:380-392) so CLAHE tile
+                # histograms never see the zero padding — batched per
+                # same-shape group; one compile per distinct (group size,
+                # image shape) (val sets share one snapped shape)
+                imgs_np = np.zeros((bs, ph, pw, 3), np.float32)
+                groups: Dict[Tuple[int, int], List[int]] = {}
+                for j, item in enumerate(items):
+                    groups.setdefault(
+                        tuple(item["semantic_mask"].shape), []
+                    ).append(j)
+                for (h, w), idxs in groups.items():
+                    native = np.asarray(_eval_device_pipeline(jnp.asarray(
+                        np.stack([items[j]["image_u8"] for j in idxs]),
+                        jnp.float32,
+                    )))
+                    for k, j in enumerate(idxs):
+                        imgs_np[j, :h, :w] = native[k]
+                imgs_d = jnp.asarray(imgs_np)
                 masks_d = jnp.asarray(masks)
             else:
                 imgs_d = jnp.asarray(images) / 255.0
