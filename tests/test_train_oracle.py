@@ -31,7 +31,11 @@ from enhanced_unet_tpu.train.schedule import reference_lr_schedule
 from enhanced_unet_tpu.train.trainer import create_train_state, make_train_step
 
 sys.path.insert(0, os.path.dirname(__file__))
-from torch_mirror import build_basic_unet_mirror, torch_combined_loss
+from torch_mirror import (
+    build_basic_unet_mirror,
+    build_enhanced_unet_basic_mirror,
+    torch_combined_loss,
+)
 
 pytestmark = pytest.mark.slow  # compile-heavy lane (see pyproject.toml)
 
@@ -55,7 +59,14 @@ def _make_data(n=4, size=32, seed=0):
     return images, masks
 
 
-def test_training_matches_torch_reference_protocol():
+@pytest.mark.parametrize("model_name,mirror_builder", [
+    ("unet_basic", build_basic_unet_mirror),
+    # the reference's non-smp flagship fallback: BasicUNet + residual
+    # enhance head (models.py:304-314, 334-339) — a different gradient
+    # structure through the head than plain BasicUNet
+    ("enhanced_unet_basic", build_enhanced_unet_basic_mirror),
+])
+def test_training_matches_torch_reference_protocol(model_name, mirror_builder):
     num_epochs = 50  # enough steps for both stacks to CONVERGE on the tiny
     batch = 2        # set — the north-star comparison is at convergence
     images, masks = _make_data(n=4, size=32)
@@ -66,7 +77,7 @@ def test_training_matches_torch_reference_protocol():
                      overrides={"batch_size": batch})
 
     # ---- JAX stack -------------------------------------------------------
-    model = get_model("unet_basic", dtype=jnp.float32)
+    model = get_model(model_name, dtype=jnp.float32)
     state = create_train_state(model, cfg, steps_per_epoch,
                                rng=jax.random.key(0),
                                input_shape=(batch, 32, 32, 3))
@@ -85,7 +96,7 @@ def test_training_matches_torch_reference_protocol():
             jax_losses.append(float(metrics["loss"]))
 
     # ---- torch stack (reference protocol) --------------------------------
-    mirror = build_basic_unet_mirror(init_params, init_stats)
+    mirror = mirror_builder(init_params, init_stats)
     mirror.train()
     lr_table = reference_lr_schedule(
         cfg.optimizer.base_lr, cfg.num_epochs, cfg.warmup_epochs,

@@ -92,6 +92,44 @@ def build_basic_unet_mirror(params, stats, num_classes=3):
     return m
 
 
+def build_enhanced_unet_basic_mirror(params, stats, num_classes=3):
+    """torch mirror of EnhancedUNetBasic (the reference's non-smp flagship
+    fallback, models.py:304-314, 334-339): BasicUNet backbone + residual
+    enhance head `out + conv1(relu(bn(conv3(out))))`."""
+
+    backbone = build_basic_unet_mirror(
+        params["BasicUNet_0"], stats["BasicUNet_0"], num_classes
+    )
+    conv3 = tnn.Conv2d(num_classes, 64, 3, padding=1)
+    bn = tnn.BatchNorm2d(64, eps=1e-5)
+    conv1 = tnn.Conv2d(64, num_classes, 1)
+    with torch.no_grad():
+        conv3.weight.copy_(to_torch_conv(params["Conv_0"]["kernel"]))
+        conv3.bias.copy_(torch.from_numpy(np.asarray(params["Conv_0"]["bias"])))
+        bn.weight.copy_(torch.from_numpy(np.asarray(params["BatchNorm_0"]["scale"])))
+        bn.bias.copy_(torch.from_numpy(np.asarray(params["BatchNorm_0"]["bias"])))
+        bn.running_mean.copy_(
+            torch.from_numpy(np.asarray(stats["BatchNorm_0"]["mean"])))
+        bn.running_var.copy_(
+            torch.from_numpy(np.asarray(stats["BatchNorm_0"]["var"])))
+        conv1.weight.copy_(to_torch_conv(params["Conv_1"]["kernel"]))
+        conv1.bias.copy_(torch.from_numpy(np.asarray(params["Conv_1"]["bias"])))
+
+    class Mirror(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = backbone
+            self.enhance = tnn.Sequential(conv3, bn, tnn.ReLU(), conv1)
+
+        def forward(self, x):
+            out = self.backbone(x)
+            return out + self.enhance(out)
+
+    m = Mirror()
+    m.eval()
+    return m
+
+
 def torch_combined_loss(logits, targets, cfg):
     """Reference loss bundle in torch: focal (pre-weighted-CE pt quirk,
     train_eval.py:37-60) + weighted soft Dice (134-157) + Tversky
