@@ -102,15 +102,16 @@ def main():
                           train=False)
         return jax.tree.leaves(out)[0]
 
-    lowered = jax.jit(lambda p, s, x: fwd(p, s, x)).lower(params, stats, x)
-    compiled = lowered.compile()
+    # lower+compile ONCE and execute that same executable, so the fusion
+    # numbering in the dumped HLO matches the trace op names exactly
+    compiled = fwd.lower(params, stats, x).compile()
     with open("/tmp/op_trace_hlo.txt", "w") as f:
         f.write(compiled.as_text())
 
-    y = fwd(params, stats, x); jax.block_until_ready(y)  # warm
+    y = compiled(params, stats, x); jax.block_until_ready(y)  # warm
     with jax.profiler.trace(TRACE_DIR):
         for _ in range(3):
-            y = fwd(params, stats, x)
+            y = compiled(params, stats, x)
         jax.block_until_ready(y)
     report(target)
 
