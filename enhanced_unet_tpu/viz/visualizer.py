@@ -1152,24 +1152,60 @@ class Visualizer:
         ax.set_title("composite score")
         self._save_figure(fig, "comparison_composite")
 
-        # 11. live/dead balance
-        fig, ax = plt.subplots(figsize=(9, 5))
-        live = [get(m, "sem_live_iou") for m in models]
-        dead = [get(m, "sem_dead_iou") for m in models]
-        ax.bar(x - 0.2, live, 0.4, label="live IoU")
-        ax.bar(x + 0.2, dead, 0.4, label="dead IoU")
-        ax.set_xticks(x); ax.set_xticklabels(models, rotation=45, ha="right")
-        ax.legend(); ax.grid(alpha=0.3); ax.set_title("class balance")
+        # 11. class balance: the |live IoU - dead IoU| performance gap with
+        # value labels, lower is better (visualization.py:940-969)
+        fig, ax = plt.subplots(figsize=(12, 6))
+        gaps = [abs(get(m, "sem_live_iou") - get(m, "sem_dead_iou"))
+                for m in models]
+        bars = ax.bar(models, gaps, alpha=0.8, edgecolor="black",
+                      linewidth=1.5)
+        top = max(gaps) if max(gaps, default=0) > 0 else 1.0
+        for bar, score in zip(bars, gaps):
+            ax.text(bar.get_x() + bar.get_width() / 2, score + top * 0.02,
+                    f"{score:.4f}", ha="center", va="bottom", fontsize=9,
+                    fontweight="bold")
+        ax.set_ylabel("Performance Gap (|Live IoU - Dead IoU|)", fontsize=12,
+                      fontweight="bold")
+        ax.set_title("Class Balance Analysis\n(Lower is Better)",
+                     fontsize=14, fontweight="bold")
+        ax.set_xticks(x)
+        ax.set_xticklabels(models, rotation=45, ha="right")
+        ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_balance")
 
-        # 12. table
-        fig, ax = plt.subplots(figsize=(14, 1 + 0.5 * len(models)))
-        ax.axis("off")
-        cols = ["model"] + hm_keys
-        cells = [[m] + [f"{get(m, k):.4f}" for k in hm_keys] for m in models]
-        table = ax.table(cellText=cells, colLabels=cols, loc="center",
-                         cellLoc="center")
-        table.auto_set_font_size(False); table.set_fontsize(7)
+        # 12. the reference's 8-column styled table (visualization.py:
+        # 971-1022): blue header, zebra rows
+        fig, ax = plt.subplots(figsize=(14, 8))
+        ax.axis("tight"); ax.axis("off")
+        columns = ["Model", "Accuracy", "Live IoU", "Dead IoU", "Mean IoU",
+                   "Live Dice", "Dead Dice", "Mean Dice"]
+        cells = [[
+            m,
+            f"{get(m, 'viability_accuracy'):.4f}",
+            f"{get(m, 'sem_live_iou'):.4f}",
+            f"{get(m, 'sem_dead_iou'):.4f}",
+            f"{get(m, 'sem_mean_iou'):.4f}",
+            f"{get(m, 'sem_live_dice'):.4f}",
+            f"{get(m, 'sem_dead_dice'):.4f}",
+            f"{get(m, 'sem_mean_dice'):.4f}",
+        ] for m in models]
+        table = ax.table(cellText=cells, colLabels=columns, cellLoc="center",
+                         loc="center", bbox=[0, 0, 1, 1])
+        table.auto_set_font_size(False)
+        table.set_fontsize(10)
+        table.scale(1, 2)
+        for j in range(len(columns)):
+            table[(0, j)].set_facecolor("#4A90E2")
+            table[(0, j)].set_text_props(weight="bold", color="white")
+        for i in range(1, len(cells) + 1):
+            for j in range(len(columns)):
+                table[(i, j)].set_facecolor(
+                    "#F0F0F0" if i % 2 == 0 else "white")
+        ax.set_title("Detailed Model Performance Table", fontsize=16,
+                     fontweight="bold", pad=20)
         self._save_figure(fig, "comparison_table")
 
     def load_evaluation_results(self):
