@@ -1137,19 +1137,62 @@ class Visualizer:
         ax.grid(alpha=0.3)
         self._save_figure(fig, "comparison_scatter")
 
-        # 9. ranking
-        comp = {m: np.mean([get(m, k) for k in keys]) for m in models}
-        order = sorted(models, key=lambda m: -comp[m])
-        fig, ax = plt.subplots(figsize=(9, 5))
-        ax.barh(order[::-1], [comp[m] for m in order[::-1]], alpha=0.85)
-        ax.set_xlabel("mean of headline metrics"); ax.grid(alpha=0.3)
+        # 9. per-metric sorted rankings: the reference's 2x2 barh panel with
+        # value labels (visualization.py:872-906)
+        fig, axes = plt.subplots(2, 2, figsize=(14, 12))
+        axes = axes.flatten()
+        metrics_to_rank = (
+            ("Mean IoU", "sem_mean_iou"),
+            ("Mean Dice", "sem_mean_dice"),
+            ("Accuracy", "viability_accuracy"),
+            ("Dead Cells IoU", "sem_dead_iou"),
+        )
+        for idx, (label, key) in enumerate(metrics_to_rank):
+            scores = sorted(((m, get(m, key)) for m in models),
+                            key=lambda t: t[1], reverse=True)
+            names = [s[0] for s in scores]
+            vals = [s[1] for s in scores]
+            top = max(vals) if max(vals, default=0) > 0 else 1.0
+            bars = axes[idx].barh(names, vals, alpha=0.8, edgecolor="black",
+                                  linewidth=1.5)
+            for bar, v in zip(bars, vals):
+                axes[idx].text(v + top * 0.01,
+                               bar.get_y() + bar.get_height() / 2,
+                               f"{v:.4f}", ha="left", va="center",
+                               fontsize=9, fontweight="bold")
+            axes[idx].set_xlabel(label, fontsize=12, fontweight="bold")
+            axes[idx].set_title(f"{label} Ranking", fontsize=14,
+                                fontweight="bold")
+            axes[idx].set_xlim([0, top * 1.1])
+            axes[idx].grid(True, alpha=0.3, axis="x", linestyle="--")
+            axes[idx].spines["top"].set_visible(False)
+            axes[idx].spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_ranking")
 
-        # 10. composite score
-        fig, ax = plt.subplots(figsize=(9, 5))
-        ax.bar(models, [comp[m] for m in models], alpha=0.85, color="tab:green")
-        ax.tick_params(axis="x", rotation=45); ax.grid(alpha=0.3)
-        ax.set_title("composite score")
+        # 10. composite score with the reference's weights: mIoU*0.4 +
+        # mDice*0.4 + accuracy*0.2 (visualization.py:908-937)
+        comps = [0.4 * get(m, "sem_mean_iou") + 0.4 * get(m, "sem_mean_dice")
+                 + 0.2 * get(m, "viability_accuracy") for m in models]
+        top = max(comps) if max(comps, default=0) > 0 else 1.0
+        fig, ax = plt.subplots(figsize=(12, 6))
+        bars = ax.bar(models, comps, alpha=0.8, edgecolor="black",
+                      linewidth=1.5)
+        for bar, v in zip(bars, comps):
+            ax.text(bar.get_x() + bar.get_width() / 2, v + top * 0.02,
+                    f"{v:.4f}", ha="center", va="bottom", fontsize=10,
+                    fontweight="bold")
+        ax.set_ylabel("Composite Score", fontsize=12, fontweight="bold")
+        ax.set_title("Model Composite Performance Score\n"
+                     "(Mean IoU×0.4 + Mean Dice×0.4 + Accuracy×0.2)",
+                     fontsize=14, fontweight="bold")
+        ax.set_xticks(x)
+        ax.set_xticklabels(models, rotation=45, ha="right")
+        ax.set_ylim([0, top * 1.15])
+        ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_composite")
 
         # 11. class balance: the |live IoU - dead IoU| performance gap with
