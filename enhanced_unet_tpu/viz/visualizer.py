@@ -1058,16 +1058,35 @@ class Visualizer:
         def get(m, k, d=0.0):
             return float(results[m].get(k, d))
 
-        # 1. overall metrics bars
+        # 1. overall metrics: the reference's 1x3 labeled-bar panel
+        # (Mean IoU / Mean Dice / Accuracy, visualization.py:540-575)
         keys = ["sem_mean_iou", "sem_mean_dice", "viability_accuracy",
                 "bbox_mAP", "segm_mAP"]
-        fig, ax = plt.subplots(figsize=(12, 6))
-        x = np.arange(len(models)); w = 0.15
-        for i, k in enumerate(keys):
-            ax.bar(x + (i - 2) * w, [get(m, k) for m in models], w, label=k)
-        ax.set_xticks(x); ax.set_xticklabels(models, rotation=45, ha="right")
-        ax.legend(fontsize=7); ax.grid(alpha=0.3)
-        ax.set_title("overall metrics")
+        x = np.arange(len(models))
+        fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+        for ax, (key, label) in zip(axes, (
+            ("sem_mean_iou", "Mean IoU"),
+            ("sem_mean_dice", "Mean Dice"),
+            ("viability_accuracy", "Accuracy"),
+        )):
+            vals = [get(m, key) for m in models]
+            top = max(vals) if max(vals, default=0) > 0 else 1.0
+            bars = ax.bar(models, vals, alpha=0.8, edgecolor="black",
+                          linewidth=1.5)
+            for bar, v in zip(bars, vals):
+                ax.text(bar.get_x() + bar.get_width() / 2, v + top * 0.02,
+                        f"{v:.4f}", ha="center", va="bottom", fontsize=9,
+                        fontweight="bold")
+            ax.set_ylabel(label, fontsize=12, fontweight="bold")
+            ax.set_title(f"{label} Comparison", fontsize=14,
+                         fontweight="bold")
+            ax.set_xticks(x)
+            ax.set_xticklabels(models, rotation=45, ha="right")
+            ax.set_ylim([0, top * 1.15])
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_overall_metrics")
 
         # 2-3. per-class IoU / Dice
