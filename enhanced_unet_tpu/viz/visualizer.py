@@ -1100,17 +1100,29 @@ class Visualizer:
             ax.set_ylabel(metric); ax.legend(); ax.grid(alpha=0.3)
             self._save_figure(fig, fname)
 
-        # 4. radar
-        radar_keys = ["sem_mean_iou", "sem_mean_dice", "live_precision",
-                      "dead_precision", "viability_accuracy"]
-        angles = np.linspace(0, 2 * np.pi, len(radar_keys), endpoint=False)
-        fig, ax = plt.subplots(figsize=(8, 8), subplot_kw={"polar": True})
+        # 4. radar: the reference's five axes — live/dead IoU, live/dead
+        # Dice, accuracy (visualization.py:644-682)
+        radar = (("Live Cells IoU", "sem_live_iou"),
+                 ("Dead Cells IoU", "sem_dead_iou"),
+                 ("Live Cells Dice", "sem_live_dice"),
+                 ("Dead Cells Dice", "sem_dead_dice"),
+                 ("Accuracy", "viability_accuracy"))
+        angles = np.linspace(0, 2 * np.pi, len(radar), endpoint=False)
+        closed = np.append(angles, angles[0])
+        fig, ax = plt.subplots(figsize=(10, 10), subplot_kw={"polar": True})
         for m in models:
-            vals = [get(m, k) for k in radar_keys]
-            ax.plot(np.append(angles, angles[0]), vals + [vals[0]], label=m)
-            ax.fill(np.append(angles, angles[0]), vals + [vals[0]], alpha=0.08)
-        ax.set_xticks(angles); ax.set_xticklabels(radar_keys, fontsize=7)
-        ax.legend(loc="upper right", bbox_to_anchor=(1.3, 1.1), fontsize=7)
+            vals = [get(m, k) for _, k in radar]
+            ax.plot(closed, vals + [vals[0]], "o-", linewidth=2, label=m,
+                    markersize=8)
+            ax.fill(closed, vals + [vals[0]], alpha=0.15)
+        ax.set_xticks(angles)
+        ax.set_xticklabels([l for l, _ in radar], fontsize=10)
+        ax.set_ylim([0, 1])
+        ax.set_yticks([0.2, 0.4, 0.6, 0.8, 1.0])
+        ax.grid(True)
+        ax.legend(loc="upper right", bbox_to_anchor=(1.3, 1.1), fontsize=10)
+        ax.set_title("Model Performance Radar Chart", fontsize=14,
+                     fontweight="bold", pad=20)
         self._save_figure(fig, "comparison_radar")
 
         # 5. heatmap
