@@ -1089,15 +1089,31 @@ class Visualizer:
         fig.tight_layout()
         self._save_figure(fig, "comparison_overall_metrics")
 
-        # 2-3. per-class IoU / Dice
+        # 2-3. per-class IoU / Dice: the reference's one-subplot-per-class
+        # labeled bars (visualization.py:570-640)
         for metric, fname in (("iou", "comparison_class_iou"),
                               ("dice", "comparison_class_dice")):
-            fig, ax = plt.subplots(figsize=(10, 6))
-            for i, cname in enumerate(CLASS_NAMES):
+            fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+            for ci, (ax, cname) in enumerate(zip(axes, CLASS_NAMES)):
                 vals = [get(m, f"sem_{cname}_{metric}") for m in models]
-                ax.bar(x + (i - 1) * 0.25, vals, 0.25, label=cname)
-            ax.set_xticks(x); ax.set_xticklabels(models, rotation=45, ha="right")
-            ax.set_ylabel(metric); ax.legend(); ax.grid(alpha=0.3)
+                top = max(vals) if max(vals, default=0) > 0 else 1.0
+                bars = ax.bar(models, vals, alpha=0.8, edgecolor="black",
+                              linewidth=1.5)
+                for bar, v in zip(bars, vals):
+                    ax.text(bar.get_x() + bar.get_width() / 2,
+                            v + top * 0.02, f"{v:.4f}", ha="center",
+                            va="bottom", fontsize=9, fontweight="bold")
+                ax.set_ylabel(f"{metric.capitalize()} Score", fontsize=12,
+                              fontweight="bold")
+                ax.set_title(f"{cname} {metric.capitalize()} Comparison",
+                             fontsize=14, fontweight="bold")
+                ax.set_xticks(x)
+                ax.set_xticklabels(models, rotation=45, ha="right")
+                ax.set_ylim([0, top * 1.15])
+                ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+                ax.spines["top"].set_visible(False)
+                ax.spines["right"].set_visible(False)
+            fig.tight_layout()
             self._save_figure(fig, fname)
 
         # 4. radar: the reference's five axes — live/dead IoU, live/dead
