@@ -1141,19 +1141,28 @@ class Visualizer:
                      fontweight="bold", pad=20)
         self._save_figure(fig, "comparison_radar")
 
-        # 5. heatmap
-        hm_keys = keys + ["live_iou", "dead_iou", "live_recall", "dead_recall"]
+        # 5. heatmap: the reference's seven columns on YlOrRd, [0,1]
+        # (visualization.py:684-730)
+        hm = (("Live IoU", "sem_live_iou"), ("Dead IoU", "sem_dead_iou"),
+              ("Mean IoU", "sem_mean_iou"), ("Live Dice", "sem_live_dice"),
+              ("Dead Dice", "sem_dead_dice"), ("Mean Dice", "sem_mean_dice"),
+              ("Accuracy", "viability_accuracy"))
+        hm_keys = [k for _, k in hm]
         mat = np.array([[get(m, k) for k in hm_keys] for m in models])
-        fig, ax = plt.subplots(figsize=(12, 6))
-        im = ax.imshow(mat, cmap="viridis", aspect="auto")
-        ax.set_xticks(range(len(hm_keys)))
-        ax.set_xticklabels(hm_keys, rotation=45, ha="right", fontsize=7)
+        fig, ax = plt.subplots(figsize=(12, max(4, 0.8 * len(models) + 2)))
+        im = ax.imshow(mat, cmap="YlOrRd", aspect="auto", vmin=0, vmax=1)
+        ax.set_xticks(range(len(hm)))
+        ax.set_xticklabels([l for l, _ in hm], rotation=45, ha="right")
         ax.set_yticks(range(len(models))); ax.set_yticklabels(models)
         for i in range(len(models)):
-            for j in range(len(hm_keys)):
-                ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
-                        fontsize=6, color="white")
-        fig.colorbar(im)
+            for j in range(len(hm)):
+                ax.text(j, i, f"{mat[i, j]:.3f}", ha="center", va="center",
+                        fontsize=9,
+                        color="white" if mat[i, j] > 0.5 else "black")
+        ax.set_title("Model Performance Heatmap", fontsize=14,
+                     fontweight="bold")
+        fig.colorbar(im, label="Score")
+        fig.tight_layout()
         self._save_figure(fig, "comparison_heatmap")
 
         # 6. boxplot of metric spreads
@@ -1174,14 +1183,26 @@ class Visualizer:
         ax.legend(fontsize=7); ax.tick_params(axis="x", rotation=45)
         self._save_figure(fig, "comparison_stacked")
 
-        # 8. scatter iou vs viability
-        fig, ax = plt.subplots(figsize=(8, 6))
+        # 8. scatter: Mean IoU vs Mean Dice with the diagonal, [0,1] axes
+        # (visualization.py:840-869)
+        fig, ax = plt.subplots(figsize=(10, 8))
         for m in models:
-            ax.scatter(get(m, "sem_mean_iou"), get(m, "viability_accuracy"), s=80)
-            ax.annotate(m, (get(m, "sem_mean_iou"), get(m, "viability_accuracy")),
-                        fontsize=8)
-        ax.set_xlabel("sem mIoU"); ax.set_ylabel("viability accuracy")
-        ax.grid(alpha=0.3)
+            miou, mdice = get(m, "sem_mean_iou"), get(m, "sem_mean_dice")
+            ax.scatter(miou, mdice, s=200, alpha=0.7, edgecolors="black",
+                       linewidth=1.5)
+            ax.annotate(m, (miou, mdice), xytext=(5, 5),
+                        textcoords="offset points", fontsize=10,
+                        fontweight="bold")
+        ax.plot([0, 1], [0, 1], "k--", alpha=0.3, linewidth=1)
+        ax.set_xlim([0, 1]); ax.set_ylim([0, 1])
+        ax.set_xlabel("Mean IoU", fontsize=12, fontweight="bold")
+        ax.set_ylabel("Mean Dice", fontsize=12, fontweight="bold")
+        ax.set_title("Model Performance: IoU vs Dice", fontsize=14,
+                     fontweight="bold")
+        ax.grid(True, alpha=0.3, linestyle="--")
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_scatter")
 
         # 9. per-metric sorted rankings: the reference's 2x2 barh panel with
