@@ -1165,22 +1165,59 @@ class Visualizer:
         fig.tight_layout()
         self._save_figure(fig, "comparison_heatmap")
 
-        # 6. boxplot of metric spreads
-        fig, ax = plt.subplots(figsize=(10, 6))
-        ax.boxplot([[get(m, k) for k in hm_keys] for m in models],
-                   tick_labels=models)
-        ax.tick_params(axis="x", rotation=45); ax.grid(alpha=0.3)
-        ax.set_title("metric spread per model")
+        # 6. per-class [IoU, Dice] across-model distribution boxplots
+        # (visualization.py:731-790)
+        fig, axes = plt.subplots(1, 3, figsize=(21, 6))
+        for ci, (ax, cname) in enumerate(zip(axes, CLASS_NAMES)):
+            iou_data = [get(m, f"sem_{cname}_iou") for m in models]
+            dice_data = [get(m, f"sem_{cname}_dice") for m in models]
+            bp = ax.boxplot([iou_data, dice_data],
+                            tick_labels=["IoU", "Dice"], patch_artist=True,
+                            widths=0.6)
+            for patch in bp["boxes"]:
+                patch.set_alpha(0.7)
+                patch.set_edgecolor("black")
+            ax.set_ylabel("Score", fontsize=12, fontweight="bold")
+            ax.set_title(f"{cname} Metrics Distribution", fontsize=14,
+                         fontweight="bold")
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_boxplot")
 
-        # 7. stacked contributions
-        fig, ax = plt.subplots(figsize=(10, 6))
-        bottom = np.zeros(len(models))
-        for k in keys:
-            vals = np.array([get(m, k) for m in models])
-            ax.bar(models, vals, bottom=bottom, label=k)
-            bottom += vals
-        ax.legend(fontsize=7); ax.tick_params(axis="x", rotation=45)
+        # 7. live-vs-dead side-by-side bars per metric with value labels
+        # (the reference's "stacked" slot, visualization.py:792-838)
+        fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+        w = 0.35
+        for mi, (ax, metric) in enumerate(zip(axes, ("iou", "dice"))):
+            live = [get(m, f"sem_live_{metric}") for m in models]
+            dead = [get(m, f"sem_dead_{metric}") for m in models]
+            bars1 = ax.bar(x - w / 2, live, w, label="Live Cells",
+                           alpha=0.8, edgecolor="black", linewidth=1.5)
+            bars2 = ax.bar(x + w / 2, dead, w, label="Dead Cells",
+                           alpha=0.8, edgecolor="black", linewidth=1.5)
+            for bars in (bars1, bars2):
+                for bar in bars:
+                    h = bar.get_height()
+                    if h > 0.01:
+                        ax.text(bar.get_x() + bar.get_width() / 2, h + 0.01,
+                                f"{h:.3f}", ha="center", va="bottom",
+                                fontsize=8, fontweight="bold")
+            label = metric.capitalize() if metric == "dice" else "IoU"
+            ax.set_ylabel(f"{label} Score", fontsize=12, fontweight="bold")
+            ax.set_title(f"{label} - Live vs Dead Cells Comparison",
+                         fontsize=14, fontweight="bold")
+            ax.set_xticks(x)
+            ax.set_xticklabels(models, rotation=45, ha="right")
+            ax.legend(fontsize=10, frameon=True, shadow=True,
+                      loc="upper right")
+            ax.set_ylim([0, max(max(live, default=0), max(dead, default=0),
+                                0.01) * 1.15])
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
+        fig.tight_layout()
         self._save_figure(fig, "comparison_stacked")
 
         # 8. scatter: Mean IoU vs Mean Dice with the diagonal, [0,1] axes
