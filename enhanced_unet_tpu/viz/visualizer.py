@@ -1030,20 +1030,29 @@ class Visualizer:
 
     # --------------------------------------------------- cross-model suite
     def plot_model_comparison(self, results: Dict[str, Dict]):
-        """Simple 4-panel comparison (visualization.py:496-531)."""
+        """The reference's basic comparison: 1x3 labeled bars for mIoU /
+        mDice / accuracy (visualization.py:496-531)."""
         models = list(results)
-        fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+        fig, axes = plt.subplots(1, 3, figsize=(18, 6))
         panels = (
-            ("sem_mean_iou", "semantic mIoU"),
-            ("sem_mean_dice", "semantic mDice"),
-            ("viability_accuracy", "viability accuracy"),
-            ("segm_mAP", "segm mAP"),
+            ("sem_mean_iou", "IoU"),
+            ("sem_mean_dice", "Dice"),
+            ("viability_accuracy", "Accuracy"),
         )
         for ax, (key, title) in zip(axes.ravel(), panels):
             vals = [results[m].get(key, 0.0) for m in models]
             ax.bar(models, vals, alpha=0.8)
-            ax.set_title(title); ax.tick_params(axis="x", rotation=45)
-            ax.grid(alpha=0.3)
+            for i, v in enumerate(vals):
+                ax.text(i, v + 0.01, f"{v:.4f}", ha="center", va="bottom",
+                        fontsize=9, fontweight="bold")
+            ax.set_ylabel(title, fontsize=12, fontweight="bold")
+            ax.set_title(f"{title} Comparison", fontsize=14,
+                         fontweight="bold")
+            ax.set_xticks(np.arange(len(models)))
+            ax.set_xticklabels(models, rotation=45, ha="right")
+            ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
         fig.tight_layout()
         self._save_figure(fig, "model_comparison")
 
