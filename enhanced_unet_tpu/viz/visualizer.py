@@ -161,18 +161,48 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_class_wise_metrics")
 
     def save_training_history_csv(self, history: Dict, model_name: str):
-        """history -> CSV (visualization.py:1518-1544)."""
+        """history -> CSV with the reference's column schema
+        (visualization.py:1518-1544: Epoch, Train_Loss, Val_Loss,
+        Train_Acc, Val_Acc, then per-class IoU/Dice when present), plus
+        any extra history series appended after (this trainer records
+        more: learning_rate, epoch_time_sec, images_per_sec, ...)."""
         path = os.path.join(self.save_dir, f"{model_name}_training_history.csv")
-        keys = [k for k, v in history.items() if isinstance(v, list)]
-        n = max((len(history[k]) for k in keys), default=0)
+        n = len(history.get("train_loss", []))
+
+        def col(k, default=0.0):
+            v = history.get(k, [])
+            return [v[i] if i < len(v) else default for i in range(n)]
+
+        data = {
+            "Epoch": list(range(1, n + 1)),
+            "Train_Loss": col("train_loss"),
+            "Val_Loss": col("val_loss"),
+            "Train_Acc": col("train_acc"),
+            "Val_Acc": col("val_acc"),
+        }
+        val_iou = history.get("val_iou", [])
+        val_dice = history.get("val_dice", [])
+        if len(val_iou) > 0:
+            viou = np.asarray(
+                [list(r) + [0.0] * (3 - len(r)) for r in val_iou], float)
+            vdice = np.asarray(
+                [list(r) + [0.0] * (3 - len(r)) for r in val_dice], float)
+            for i, cname in enumerate(CLASS_NAMES):
+                data[f"{cname}_IoU"] = list(viou[:, i]) + [0.0] * (
+                    n - len(viou))
+                data[f"{cname}_Dice"] = list(vdice[:, i]) + [0.0] * (
+                    n - len(vdice))
+        covered = {"train_loss", "val_loss", "train_acc", "val_acc",
+                   "val_iou", "val_dice"}
+        for k, v in history.items():
+            if k not in covered and isinstance(v, list) and not any(
+                    isinstance(e, (list, tuple, dict)) for e in v):
+                data[k] = [v[i] if i < len(v) else "" for i in range(n)]
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["epoch"] + keys)
+            w.writerow(list(data))
             for i in range(n):
-                w.writerow(
-                    [i + 1]
-                    + [history[k][i] if i < len(history[k]) else "" for k in keys]
-                )
+                w.writerow([data[k][i] for k in data])
         return path
 
     def plot_gradient_flow(self, grad_norms: Dict[str, float], model_name: str):
