@@ -147,16 +147,24 @@ class Visualizer:
         self._save_figure(fig, f"{model_name}_learning_rate")
 
     def plot_class_wise_metrics(self, history: Dict, model_name: str):
-        """Per-class IoU/Dice over validation epochs (visualization.py:1201-1250)."""
-        fig, axes = plt.subplots(1, 2, figsize=(14, 5))
-        for ax, key, title in zip(axes, ("val_iou", "val_dice"), ("IoU", "Dice")):
-            arr = np.asarray(history.get(key, []), dtype=float)
-            if arr.size:
-                for c in range(min(3, arr.shape[1])):
-                    ax.plot(arr[:, c], label=CLASS_NAMES[c], marker="o", ms=3)
-            ax.set_xlabel("val epoch"); ax.set_ylabel(title)
-            ax.set_title(f"{model_name} {title} per class")
-            ax.legend(); ax.grid(alpha=0.3)
+        """Per-class metric curves, one subplot PER CLASS with IoU+Dice
+        lines as in the reference (visualization.py:1201-1250)."""
+        iou = np.asarray(history.get("val_iou", []), dtype=float)
+        dice = np.asarray(history.get("val_dice", []), dtype=float)
+        fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+        for c, ax in enumerate(axes):
+            if iou.size and c < iou.shape[1]:
+                ax.plot(iou[:, c], "o-", label="IoU", markersize=6)
+            if dice.size and c < dice.shape[1]:
+                ax.plot(dice[:, c], "s-", label="Dice", markersize=6)
+            ax.set_xlabel("Epoch", fontsize=12, fontweight="bold")
+            ax.set_ylabel("Score", fontsize=12, fontweight="bold")
+            ax.set_title(f"{model_name} - {CLASS_NAMES[c]} Metrics",
+                         fontsize=14, fontweight="bold")
+            ax.legend(frameon=True, shadow=True)
+            ax.grid(True, alpha=0.3, linestyle="--")
+            ax.spines["top"].set_visible(False)
+            ax.spines["right"].set_visible(False)
         fig.tight_layout()
         self._save_figure(fig, f"{model_name}_class_wise_metrics")
 
