@@ -65,6 +65,26 @@ def test_train_eval_roundtrip(data_dir, tmp_path):
     # results JSON persisted with the reference's layout
     out = os.path.join(results_dir, "unet_basic", "unet_basic_results.json")
     assert os.path.exists(out)
+    # the per-eval figure inventory emitted through the PRODUCT path
+    # (train_eval.py:1327-1525's ~19 visualizer calls): every expected
+    # figure must land on disk — wiring regressions in
+    # _emit_prediction_charts died silently inside its per-chart guards
+    save_dir = os.path.join(results_dir, "unet_basic")
+    emitted = set(os.listdir(save_dir))
+    for base in (
+        "unet_basic_sample_grid", "unet_basic_confusion_matrix",
+        "unet_basic_predictions", "unet_basic_cell_statistics",
+        "unet_basic_per_image_metrics", "unet_basic_error_analysis",
+        "unet_basic_class_distribution", "unet_basic_spatial_analysis",
+        "unet_basic_roc_curves", "unet_basic_pr_curves",
+        "unet_basic_boundary_accuracy", "unet_basic_size_performance",
+        "unet_basic_calibration", "unet_basic_paper_fig1_comparison",
+        "unet_basic_paper_fig2_overlay", "unet_basic_paper_fig3_errors",
+        "unet_basic_paper_fig4_detailed",
+        "unet_basic_cell_count_comparison", "unet_basic_training_curves",
+        "unet_basic_class_wise_metrics",
+    ):
+        assert f"{base}.png" in emitted, base
 
 
 def test_resume_continues_from_checkpoint(data_dir, tmp_path):
