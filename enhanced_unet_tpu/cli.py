@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--mode", type=str, default="train_eval",
-        choices=["train", "eval", "train_eval", "visualize"],
+        choices=["train", "eval", "train_eval", "visualize", "predict"],
     )
     parser.add_argument("--regenerate-predictions", action="store_true")
     parser.add_argument(
@@ -140,6 +140,23 @@ def main(argv=None) -> int:
                     regenerate_predictions=args.regenerate_predictions,
                     max_size=args.max_size,
                     dtype=dtype,
+                )
+                results = dict(ZERO_RESULTS)
+            elif args.mode == "predict":
+                # label-free serving over bare images (no reference
+                # equivalent: its eval requires labelme JSON per image)
+                from enhanced_unet_tpu.train.api import predict_model
+
+                predict_model(
+                    model_name,
+                    images_dir=args.data_dir,
+                    results_dir=args.results_dir,
+                    max_size=args.max_size,
+                    dtype=dtype,
+                    tiled=args.tiled,
+                    tile=args.tile,
+                    overlap=args.overlap,
+                    batch_size=max(args.eval_batch, 1),
                 )
                 results = dict(ZERO_RESULTS)
             else:

@@ -589,6 +589,123 @@ def visualize_model(
     Visualizer(save_dir=results_dir).plot_comprehensive_comparison_from_csv()
 
 
+def predict_model(
+    model_name: str,
+    images_dir: str,
+    checkpoint_path: Optional[str] = None,
+    results_dir: str = "results",
+    max_size: int = 640,
+    cfg: Optional[TrainConfig] = None,
+    dtype=jnp.bfloat16,
+    tiled: bool = False,
+    tile: int = 512,
+    overlap: int = 64,
+    batch_size: int = 8,
+    log=print,
+) -> Dict:
+    """Label-free batch inference over a directory of images.
+
+    The reference has no unlabeled serving path (its eval requires labelme
+    JSON per image, dataset.py:173-195); this runs the full serving
+    pipeline — enhance -> TTA -> threshold cascade -> instance extraction
+    -> viability counting — on bare *.jpg/*.png files, batched per
+    same-shape group, writing per-image mask PNGs + overlays and a
+    predictions CSV (filename, live/dead counts, viability %).
+    """
+    import csv as _csv
+
+    from PIL import Image
+
+    from enhanced_unet_tpu.data.dataset import _resize_image, snap_to_multiple
+    from enhanced_unet_tpu.postprocess import semantic_to_instances
+    from enhanced_unet_tpu.viz.visualizer import CLASS_COLORS
+
+    cfg = cfg or get_preset(model_name)
+    save_dir = os.path.join(results_dir, model_name, "predictions")
+    os.makedirs(save_dir, exist_ok=True)
+
+    names = sorted(
+        f for f in os.listdir(images_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    if not names:
+        raise ValueError(f"no images found in {images_dir}")
+
+    pad_shape = _pad_shape(max_size)
+    state = _build_state(model_name, cfg, 1, pad_shape, dtype)
+    ckpt = checkpoint_path or os.path.join("checkpoints", model_name,
+                                           "best_model")
+    if checkpoint_exists(ckpt):
+        state, _ = load_checkpoint(ckpt, state)
+        log(f"loaded checkpoint {ckpt}")
+    else:
+        log(f"WARNING: no checkpoint at {ckpt}; predicting with random init")
+    evaluator = Evaluator(state, model_name, enable_tta=cfg.enable_tta,
+                          tiled=tiled, tile=tile, overlap=overlap,
+                          verbose=False)
+
+    # decode + reference resize policy (max side <= max_size, /32 snap)
+    imgs: Dict[str, np.ndarray] = {}
+    for name in names:
+        arr = np.asarray(
+            Image.open(os.path.join(images_dir, name)).convert("RGB"))
+        h, w = snap_to_multiple(arr.shape[0], arr.shape[1], max_size)
+        if (h, w) != arr.shape[:2]:
+            arr = _resize_image(arr, (w, h))
+        imgs[name] = arr.astype(np.float32) / 255.0
+
+    # device half batched per same-shape group
+    masks: Dict[str, np.ndarray] = {}
+    groups: Dict[tuple, list] = {}
+    for name, arr in imgs.items():
+        groups.setdefault(arr.shape, []).append(name)
+    for shape, group in groups.items():
+        for i in range(0, len(group), batch_size):
+            chunk = group[i:i + batch_size]
+            if tiled or len(chunk) == 1:
+                for n in chunk:
+                    masks[n] = evaluator.predict_semantic_mask(imgs[n])
+            else:
+                batch = np.stack([imgs[n] for n in chunk])
+                for n, m in zip(chunk, evaluator.predict_semantic_masks(batch)):
+                    masks[n] = np.asarray(m)
+
+    # host half: instances, viability, artifacts
+    rows = []
+    for name in names:
+        mask = masks[name]
+        inst_masks, inst_labels, _ = semantic_to_instances(mask)
+        live = sum(1 for l in inst_labels if l == 0)
+        dead = sum(1 for l in inst_labels if l == 1)
+        viability = 100.0 * live / max(live + dead, 1)
+        stem = os.path.splitext(name)[0]
+        colored = (CLASS_COLORS[np.clip(mask, 0, 2)] * 255).astype(np.uint8)
+        Image.fromarray(colored).save(
+            os.path.join(save_dir, f"{stem}_mask.png"))
+        overlay = np.clip(
+            imgs[name] * 0.5 + CLASS_COLORS[np.clip(mask, 0, 2)] * 0.5, 0, 1)
+        Image.fromarray((overlay * 255).astype(np.uint8)).save(
+            os.path.join(save_dir, f"{stem}_overlay.png"))
+        rows.append({
+            "filename": name,
+            "live_count": live,
+            "dead_count": dead,
+            "total_count": live + dead,
+            "viability_percent": round(viability, 2),
+            "live_pixels": int((mask == 1).sum()),
+            "dead_pixels": int((mask == 2).sum()),
+        })
+        log(f"{name}: live={live} dead={dead} viability={viability:.1f}%")
+
+    csv_path = os.path.join(save_dir, "predictions.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    log(f"predictions written to {save_dir}")
+    return {"predictions": rows, "save_dir": save_dir}
+
+
 def train_and_evaluate(
     model_name: str,
     data_dir: str = "data",

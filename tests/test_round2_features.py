@@ -260,3 +260,25 @@ def test_evaluate_grouped_batching_matches_per_image(data_dir):
     for k, v in m1.items():
         np.testing.assert_allclose(m4[k], v, rtol=1e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_predict_model_label_free(data_dir, tmp_path):
+    """predict_model runs the serving pipeline on bare images (no JSON),
+    writing mask/overlay PNGs and the predictions CSV."""
+    from enhanced_unet_tpu.train.api import predict_model
+
+    out = predict_model(
+        "unet_basic", images_dir=data_dir, results_dir=str(tmp_path),
+        max_size=96, dtype=jnp.float32, batch_size=4,
+        log=lambda *a: None,
+    )
+    rows = out["predictions"]
+    assert len(rows) == len(
+        [f for f in os.listdir(data_dir) if f.endswith(".jpg")])
+    for r in rows:
+        assert 0.0 <= r["viability_percent"] <= 100.0
+        stem = os.path.splitext(r["filename"])[0]
+        assert os.path.exists(os.path.join(out["save_dir"], f"{stem}_mask.png"))
+        assert os.path.exists(
+            os.path.join(out["save_dir"], f"{stem}_overlay.png"))
+    assert os.path.exists(os.path.join(out["save_dir"], "predictions.csv"))
