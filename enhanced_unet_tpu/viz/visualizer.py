@@ -1107,8 +1107,6 @@ class Visualizer:
 
         # 1. overall metrics: the reference's 1x3 labeled-bar panel
         # (Mean IoU / Mean Dice / Accuracy, visualization.py:540-575)
-        keys = ["sem_mean_iou", "sem_mean_dice", "viability_accuracy",
-                "bbox_mAP", "segm_mAP"]
         x = np.arange(len(models))
         fig, axes = plt.subplots(1, 3, figsize=(18, 6))
         for ax, (key, label) in zip(axes, (
