@@ -189,35 +189,6 @@ class UpConcatBlock(nn.Module):
 
 
 class SeparableConvBNAct(nn.Module):
-    """Depthwise-separable conv + BN + ReLU (DeepLabV3+ decoder unit)."""
-
-    features: int
-    kernel_size: Tuple[int, int] = (3, 3)
-    dilation: int = 1
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
-        x = nn.Conv(
-            c,
-            self.kernel_size,
-            padding="SAME",
-            feature_group_count=c,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32)(x)
-        return nn.relu(x)
-
-
-class SeparableConvBNAct(nn.Module):
     """Depthwise (optionally dilated) 3x3 -> pointwise 1x1 -> BN -> ReLU.
 
     smp's SeparableConv2d + BN + ReLU unit (depthwise bias=False, pointwise
@@ -264,6 +235,8 @@ class ASPP(nn.Module):
 
     features: int = 256
     rates: Sequence[int] = (12, 24, 36)
+    # smp's ASPP projection dropout; 0 disables (deterministic harnesses)
+    dropout: float = 0.5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -281,7 +254,7 @@ class ASPP(nn.Module):
         branches.append(g)
         y = jnp.concatenate(branches, axis=-1)
         y = ConvBNAct(self.features, (1, 1), dtype=self.dtype)(y, train)
-        return nn.Dropout(0.5, deterministic=not train)(y)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
 
 
 class PSPModule(nn.Module):

@@ -123,6 +123,10 @@ class UNetPlusPlus(nn.Module):
     # 256-512px (ops/s2d.py; tests/test_s2d.py pins equivalence)
     packed_decoder: bool = True
     remat: bool = False
+    # encoder stochastic depth (efficientnet-pytorch default 0.2); 0
+    # disables — deterministic harnesses (the cross-framework training
+    # oracle) need dropout off symmetrically
+    drop_connect_rate: float = 0.2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -141,6 +145,7 @@ class UNetPlusPlus(nn.Module):
             if self.remat else EfficientNetEncoder
         )
         feats = enc_cls(variant=self.encoder_name,
+                        drop_connect_rate=self.drop_connect_rate,
                         dtype=self.dtype)(x, train)
         enc_ch = [f.shape[-1] for f in feats[1:]]  # rows 0..4 = strides 2..32
         grid = {(i, 0): feats[i + 1] for i in range(5)}
@@ -226,6 +231,9 @@ class DeepLabV3Plus(nn.Module):
     aspp_channels: int = 256
     output_stride: int = 16
     remat: bool = False
+    # see UNetPlusPlus: 0 disables for deterministic harnesses
+    drop_connect_rate: float = 0.2
+    aspp_dropout: float = 0.5
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -236,8 +244,10 @@ class DeepLabV3Plus(nn.Module):
         )
         feats = enc_cls(variant=self.encoder_name,
                         output_stride=self.output_stride,
+                        drop_connect_rate=self.drop_connect_rate,
                         dtype=self.dtype)(x, train)
-        y = ASPP(self.aspp_channels, dtype=self.dtype)(feats[-1], train)
+        y = ASPP(self.aspp_channels, dropout=self.aspp_dropout,
+                 dtype=self.dtype)(feats[-1], train)
         y = SeparableConvBNAct(self.aspp_channels, dtype=self.dtype)(y, train)
         low = feats[2]  # stride 4
         y = resize_bilinear_align_corners(y, low.shape[1:3]).astype(low.dtype)
@@ -276,6 +286,11 @@ class EnhancedUNet(nn.Module):
     # route the UNet++ decoder through the s2d packed layout (ModelConfig
     # .packed_decoder; same params/math either way, tests/test_s2d.py)
     packed_decoder: bool = True
+    # 0 disables encoder stochastic depth + ASPP dropout — deterministic
+    # harnesses (the cross-framework training oracle) turn ALL stochastic
+    # regularisers off symmetrically (with fusion_dropout=(0, 0))
+    drop_connect_rate: float = 0.2
+    aspp_dropout: float = 0.5
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -283,9 +298,12 @@ class EnhancedUNet(nn.Module):
         out_main = UNetPlusPlus(self.num_classes, remat=self.remat,
                                 encoder_name=self.encoder_names[0],
                                 packed_decoder=self.packed_decoder,
+                                drop_connect_rate=self.drop_connect_rate,
                                 dtype=self.dtype)(x, train)
         out_aux = DeepLabV3Plus(self.num_classes, remat=self.remat,
                                 encoder_name=self.encoder_names[1],
+                                drop_connect_rate=self.drop_connect_rate,
+                                aspp_dropout=self.aspp_dropout,
                                 dtype=self.dtype)(x, train)
 
         fused = jnp.concatenate([out_main, out_aux], axis=-1)  # [N,H,W,6]
@@ -304,7 +322,8 @@ class EnhancedUNet(nn.Module):
         a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32)(a)
-        a = nn.gelu(a)
+        # reference nn.GELU() is exact erf GELU; flax default is tanh approx
+        a = nn.gelu(a, approximate=False)
         a = nn.Conv(fc, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(a)
         a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
