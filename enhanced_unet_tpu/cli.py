@@ -67,7 +67,8 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--mode", type=str, default="train_eval",
-        choices=["train", "eval", "train_eval", "visualize", "predict"],
+        choices=["train", "eval", "train_eval", "visualize", "predict",
+                 "manifest"],
     )
     parser.add_argument("--regenerate-predictions", action="store_true")
     parser.add_argument(
@@ -104,7 +105,27 @@ def main(argv=None) -> int:
         "--eval-batch", type=int, default=1,
         help="batch the eval pipeline over same-shape image groups "
              "(1 = the reference's per-image loop; results identical)")
+    parser.add_argument(
+        "--pretrained-dir", type=str, default=None,
+        help="directory of ImageNet encoder weight files (the exact "
+             "upstream files smp downloads — see convert/pretrained.py "
+             "WEIGHT_MANIFEST); initializes encoders before training, "
+             "reproducing the reference's encoder_weights='imagenet'")
     args = parser.parse_args(argv)
+
+    if args.mode == "manifest":
+        # print the weight-file manifest for the selected models and exit
+        from enhanced_unet_tpu.convert import required_weights
+
+        for model_name in args.models:
+            entries = required_weights(model_name)
+            if not entries:
+                print(f"{model_name}: trains from scratch (no pretrained "
+                      "encoders in the reference)")
+            for variant, e in entries.items():
+                print(f"{model_name}: {variant}  file={e['file']}  "
+                      f"sha256[:8]={e['sha256_prefix']}\n  url={e['url']}")
+        return 0
 
     if args.distributed:
         import jax
@@ -170,6 +191,7 @@ def main(argv=None) -> int:
                         max_size=args.max_size,
                         dtype=dtype,
                         num_devices=args.num_devices,
+                        pretrained_dir=args.pretrained_dir,
                     )
                 if args.mode in ("eval", "train_eval"):
                     results = evaluate_model(

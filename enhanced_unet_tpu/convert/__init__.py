@@ -1,6 +1,12 @@
 """torch -> Flax weight conversion (pretrained encoders, reference .pth
 checkpoints)."""
 
+from enhanced_unet_tpu.convert.pretrained import (
+    WEIGHT_MANIFEST,
+    initialize_pretrained,
+    required_weights,
+    verify_weight_file,
+)
 from enhanced_unet_tpu.convert.torch_import import (
     convert_deeplab_decoder,
     convert_efficientnet,
@@ -15,6 +21,10 @@ from enhanced_unet_tpu.convert.torch_import import (
 )
 
 __all__ = [
+    "WEIGHT_MANIFEST",
+    "initialize_pretrained",
+    "required_weights",
+    "verify_weight_file",
     "convert_deeplab_decoder",
     "convert_efficientnet",
     "convert_enhanced_unet",

@@ -361,17 +361,23 @@ def convert_smp_deeplab(sd: Mapping[str, Any],
             {"EfficientNetEncoder_0": enc_s, **dec_s})
 
 
-def convert_enhanced_unet(sd: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+def convert_enhanced_unet(
+    sd: Mapping[str, Any],
+    variants: Tuple[str, str] = ("efficientnet-b5", "efficientnet-b4"),
+) -> Tuple[Dict, Dict]:
     """Full reference EnhancedUNet state dict (models.py:246-343 smp branch:
     unetpp.*, deeplab.*, attention_gate.*, fusion_head.*, fusion_residual)
-    -> complete (params, batch_stats) trees for models.EnhancedUNet."""
+    -> complete (params, batch_stats) trees for models.EnhancedUNet.
+
+    variants: the (UNet++, DeepLabV3+) encoder pair — (b5, b4) is the
+    reference pairing (models.py:255-275)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
     params["UNetPlusPlus_0"], stats["UNetPlusPlus_0"] = convert_smp_unetpp(
-        _strip_prefix(sd, "unetpp."), "efficientnet-b5")
+        _strip_prefix(sd, "unetpp."), variants[0])
     params["DeepLabV3Plus_0"], stats["DeepLabV3Plus_0"] = convert_smp_deeplab(
-        _strip_prefix(sd, "deeplab."), "efficientnet-b4")
+        _strip_prefix(sd, "deeplab."), variants[1])
 
     # --- attention gate (models.py:278-285; Sequential conv(0), bn(1),
     # gelu, conv(3), bn(4), sigmoid) ---

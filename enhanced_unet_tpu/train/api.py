@@ -88,6 +88,7 @@ def train_model(
     use_full_evaluator_gate: bool = True,
     dtype=jnp.bfloat16,
     num_devices: Optional[int] = None,
+    pretrained_dir: Optional[str] = None,
     log=print,
 ) -> str:
     """Train one model with the reference's protocol; returns checkpoint path.
@@ -131,7 +132,7 @@ def train_model(
     if global_batch % pc:
         raise ValueError(
             f"global batch {global_batch} (batch_size {cfg.batch_size} x "
-            f"num_devices {n_dev}) must divide process_count {pc}"
+            f"num_devices {n_dev}) must be divisible by process_count {pc}"
         )
     train_loader = BatchLoader(
         train_ds, global_batch // pc, pad_shape, train=True, seed=cfg.seed,
@@ -151,6 +152,22 @@ def train_model(
 
     steps_per_epoch = len(train_loader)
     state = _build_state(model_name, cfg, steps_per_epoch, pad_shape, dtype)
+    if pretrained_dir and not resume:
+        # ImageNet-pretrained encoder init, the reference's smp
+        # encoder_weights="imagenet" default (models.py:255-275); see
+        # convert/pretrained.py for the weight-file manifest
+        from enhanced_unet_tpu.convert import (
+            initialize_pretrained,
+            required_weights,
+        )
+
+        if required_weights(model_name):
+            state, imported = initialize_pretrained(
+                state, model_name, weights_dir=pretrained_dir, log=log)
+        else:
+            log(f"{model_name} has no pretrained encoders "
+                "(reference trains it from scratch); ignoring "
+                f"--pretrained-dir")
     mesh = None
     shard_train_batch = None
     if n_dev > 1:
@@ -518,7 +535,7 @@ def visualize_model(
     cfg: Optional[TrainConfig] = None,
     dtype=jnp.bfloat16,
     log=print,
-) -> None:
+) -> Dict:
     """Standalone visualization mode (reference train_eval.py:1546-1801):
     replay training history from the checkpoint, reload saved results, and
     optionally regenerate prediction-based figures."""
@@ -566,10 +583,18 @@ def visualize_model(
     else:
         log(f"No checkpoint found at {ckpt}")
 
-    # 2. reload saved evaluation results (train_eval.py:1621-1630)
+    # 2. reload saved evaluation results (train_eval.py:1621-1630; the
+    # reference parses the JSON and confirms the load — and so returns the
+    # parsed dict to callers, which the log-only version here didn't)
     results_file = os.path.join(save_dir, f"{model_name}_results.json")
+    results: Dict = {}
     if os.path.exists(results_file):
-        log(f"Loaded results: {results_file}")
+        log(f"Loading evaluation results: {results_file}")
+        with open(results_file, encoding="utf-8") as f:
+            results = json.load(f)
+        log("Evaluation results loaded")
+    else:
+        log(f"No evaluation results file: {results_file}")
 
     # 3. regenerate prediction figures (train_eval.py:1632-1787)
     if regenerate_predictions and checkpoint_exists(ckpt):
@@ -587,6 +612,7 @@ def visualize_model(
 
     # 4. cross-model comparison from aggregated results (train_eval.py:1794-1799)
     Visualizer(save_dir=results_dir).plot_comprehensive_comparison_from_csv()
+    return results
 
 
 def predict_model(
@@ -644,59 +670,62 @@ def predict_model(
                           tiled=tiled, tile=tile, overlap=overlap,
                           verbose=False)
 
-    # decode + reference resize policy (max side <= max_size, /32 snap)
-    imgs: Dict[str, np.ndarray] = {}
+    # group by FINAL shape from the image headers alone (PIL reads sizes
+    # lazily) so arbitrarily large directories stream: pixels are decoded
+    # one chunk at a time and released after the chunk's artifacts write
+    groups: Dict[tuple, list] = {}
     for name in names:
+        with Image.open(os.path.join(images_dir, name)) as im:
+            w0, h0 = im.size
+        h, w = snap_to_multiple(h0, w0, max_size)
+        groups.setdefault((h, w), []).append(name)
+
+    def _decode(name: str, shape: tuple) -> np.ndarray:
+        """Decode + reference resize policy (max side <= max_size, /32 snap)."""
         arr = np.asarray(
             Image.open(os.path.join(images_dir, name)).convert("RGB"))
-        h, w = snap_to_multiple(arr.shape[0], arr.shape[1], max_size)
-        if (h, w) != arr.shape[:2]:
-            arr = _resize_image(arr, (w, h))
-        imgs[name] = arr.astype(np.float32) / 255.0
+        if shape != arr.shape[:2]:
+            arr = _resize_image(arr, (shape[1], shape[0]))
+        return arr.astype(np.float32) / 255.0
 
-    # device half batched per same-shape group
-    masks: Dict[str, np.ndarray] = {}
-    groups: Dict[tuple, list] = {}
-    for name, arr in imgs.items():
-        groups.setdefault(arr.shape, []).append(name)
+    results: Dict[str, dict] = {}
     for shape, group in groups.items():
         for i in range(0, len(group), batch_size):
             chunk = group[i:i + batch_size]
+            imgs = [_decode(n, shape) for n in chunk]
             if tiled or len(chunk) == 1:
-                for n in chunk:
-                    masks[n] = evaluator.predict_semantic_mask(imgs[n])
+                masks = [np.asarray(evaluator.predict_semantic_mask(a))
+                         for a in imgs]
             else:
-                batch = np.stack([imgs[n] for n in chunk])
-                for n, m in zip(chunk, evaluator.predict_semantic_masks(batch)):
-                    masks[n] = np.asarray(m)
+                masks = [np.asarray(m) for m in
+                         evaluator.predict_semantic_masks(np.stack(imgs))]
+            # host half: instances, viability, artifacts — per chunk, so
+            # pixel buffers die with this iteration
+            for name, img, mask in zip(chunk, imgs, masks):
+                inst_masks, inst_labels, _ = semantic_to_instances(mask)
+                live = sum(1 for l in inst_labels if l == 0)
+                dead = sum(1 for l in inst_labels if l == 1)
+                viability = 100.0 * live / max(live + dead, 1)
+                stem = os.path.splitext(name)[0]
+                colored = CLASS_COLORS[np.clip(mask, 0, 2)]
+                Image.fromarray((colored * 255).astype(np.uint8)).save(
+                    os.path.join(save_dir, f"{stem}_mask.png"))
+                overlay = np.clip(img * 0.5 + colored * 0.5, 0, 1)
+                Image.fromarray((overlay * 255).astype(np.uint8)).save(
+                    os.path.join(save_dir, f"{stem}_overlay.png"))
+                results[name] = {
+                    "filename": name,
+                    "live_count": live,
+                    "dead_count": dead,
+                    "total_count": live + dead,
+                    "viability_percent": round(viability, 2),
+                    "live_pixels": int((mask == 1).sum()),
+                    "dead_pixels": int((mask == 2).sum()),
+                }
+                log(f"{name}: live={live} dead={dead} "
+                    f"viability={viability:.1f}%")
 
-    # host half: instances, viability, artifacts
-    rows = []
-    for name in names:
-        mask = masks[name]
-        inst_masks, inst_labels, _ = semantic_to_instances(mask)
-        live = sum(1 for l in inst_labels if l == 0)
-        dead = sum(1 for l in inst_labels if l == 1)
-        viability = 100.0 * live / max(live + dead, 1)
-        stem = os.path.splitext(name)[0]
-        colored = (CLASS_COLORS[np.clip(mask, 0, 2)] * 255).astype(np.uint8)
-        Image.fromarray(colored).save(
-            os.path.join(save_dir, f"{stem}_mask.png"))
-        overlay = np.clip(
-            imgs[name] * 0.5 + CLASS_COLORS[np.clip(mask, 0, 2)] * 0.5, 0, 1)
-        Image.fromarray((overlay * 255).astype(np.uint8)).save(
-            os.path.join(save_dir, f"{stem}_overlay.png"))
-        rows.append({
-            "filename": name,
-            "live_count": live,
-            "dead_count": dead,
-            "total_count": live + dead,
-            "viability_percent": round(viability, 2),
-            "live_pixels": int((mask == 1).sum()),
-            "dead_pixels": int((mask == 2).sum()),
-        })
-        log(f"{name}: live={live} dead={dead} viability={viability:.1f}%")
-
+    rows = [results[name] for name in names]
     csv_path = os.path.join(save_dir, "predictions.csv")
     with open(csv_path, "w", newline="") as f:
         w = _csv.DictWriter(f, fieldnames=list(rows[0]))
