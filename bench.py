@@ -1,36 +1,44 @@
 """Benchmark harness: flagship EnhancedUNet 512x512 throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N,
+   "modes": {"train": {...}, "eval": {...}, "tiled": {...}}}
+
+The headline (metric/value/vs_baseline) is 512x512 batched inference; the
+"modes" object carries the training-step, serving-path (enhance->TTA->
+threshold cascade) and tiled full-resolution (2048^2, tile 512/overlap 64)
+numbers from the same capture, so one driver run records all four.
 
 Baseline: the reference (whh1747012859/Enhanced-UNet) publishes no numbers
 and cannot run here (no GPU, no segmentation_models_pytorch), so the
-A100 PyTorch baseline below is an engineering estimate for the reference's
+A100 PyTorch baselines below are engineering estimates for the reference's
 dual-branch model (UNet++/efficientnet-b5 + DeepLabV3+/efficientnet-b4,
-~66M params) at 512x512 inference in fp32 on one A100, documented in
-BASELINE.md.  vs_baseline = our images/sec / that estimate.
+~66M params) documented in BASELINE.md.  vs_baseline = ours / estimate.
 
-Env knobs: BENCH_BATCH (default 64), BENCH_SIZE (512), BENCH_STEPS (20),
-BENCH_REPS (3 timed repetitions; the median is reported), BENCH_MODE
-(infer|train|eval), BENCH_MODEL (enhanced_unet), BENCH_FUSION_STRIDE (1 =
-exact reference fusion-head placement; 2 = the documented fast-fusion
-variant).
+Robustness (the round-3 lesson): the TPU arrives through an experimental
+relay whose tunnel can be down for hours — jax backend init then HANGS
+rather than erroring.  This file therefore runs as a two-level harness:
+the top-level process imports NO jax; it probes the backend in a
+subprocess under a hard timeout (with retries across the capture window),
+then runs each mode in its own subprocess under a timeout, so a mid-run
+outage costs one mode, not the artifact.  On persistent outage it still
+emits one parseable JSON line with an "error" field instead of a traceback.
+
+Env knobs: BENCH_MODE (unset = all of infer+train+eval+tiled; or one of
+them), BENCH_BATCH (per-mode defaults below), BENCH_SIZE (512),
+BENCH_STEPS (20), BENCH_REPS (3 timed repetitions; median reported),
+BENCH_MODEL (enhanced_unet), BENCH_FUSION_STRIDE (1 = exact reference
+fusion-head placement), BENCH_BUDGET (total seconds, default 2400),
+BENCH_MODE_TIMEOUT (per-mode seconds, default 700), BENCH_PROBE_ATTEMPTS /
+BENCH_PROBE_SLEEP (backend probing), BENCH_TILE / BENCH_TILE_OVERLAP /
+BENCH_TILE_IMAGE (tiled-mode geometry).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-# persistent compilation cache: repeat bench runs skip the XLA compile on
-# standard TPU runtimes (ineffective under the axon remote-compile relay,
-# which bypasses the local executable cache — measured; kept for real pods)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Estimated A100 PyTorch fp32 throughput of the reference EnhancedUNet at
 # 512x512 (batch 8, no TTA).  See BASELINE.md for the rationale.
@@ -41,23 +49,175 @@ A100_REFERENCE_IPS = 55.0
 A100_REFERENCE_TRAIN_IPS = 12.0
 # Serving-path estimate: the reference evaluates one image at a time with 5
 # sequential batch-1 TTA forwards plus host-side CLAHE (train_eval.py:
-# 380-453, 570-652); ~55/5.4 view-cost with no batching headroom ≈ 8 img/s
+# 380-453, 570-652); ~55/5.4 view-cost with no batching headroom ~= 8 img/s
 # on A100 fp32.  See BASELINE.md.
 A100_REFERENCE_EVAL_IPS = 8.0
 
+# train runs LAST: its fwd+bwd compile over the axon relay is ~20 min
+# (measured r4, batch 8) — the cheap modes must not sit behind it
+_MODES = ("infer", "tiled", "eval", "train")
 
-def main():
-    # batch 64 is the measured throughput-optimal serving batch on v5e
-    # (188.6 img/s vs 160.6 at 32 and 152.1 at 16; 96 OOMs at 18.9G of
-    # 15.75G HBM) — reference fusion placement, round-2 packed decoder
-    mode_default_batch = {"infer": "64", "train": "64", "eval": "16"}
-    batch = int(os.environ.get(
-        "BENCH_BATCH",
-        mode_default_batch.get(os.environ.get("BENCH_MODE", "infer"), "64"),
-    ))
+
+# ---------------------------------------------------------------------------
+# orchestrator (no jax import here)
+# ---------------------------------------------------------------------------
+
+def _probe_backend(deadline: float) -> bool:
+    """True iff `jax.devices()` returns within a hard timeout.
+
+    The probe runs in a subprocess because a downed axon tunnel makes
+    backend init hang indefinitely (no error) — only a process kill
+    recovers.  Retries a few times across the capture window (the tunnel
+    flaps).  Skipped (returns True) when JAX_PLATFORMS pins cpu.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4"))
+    sleep = float(os.environ.get("BENCH_PROBE_SLEEP", "30"))
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT", "60")),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: backend probe {i + 1}/{attempts} failed", file=sys.stderr)
+        if i + 1 < attempts and time.time() + sleep < deadline:
+            time.sleep(sleep)
+    return False
+
+
+def _run_mode(mode: str, timeout: float) -> dict:
+    """One mode in its own subprocess; returns its parsed JSON line or an
+    {"error": ...} dict.  Child stderr streams through for debuggability;
+    child stdout is captured (only the JSON line matters)."""
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = mode
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=timeout, env=env,
+            stdout=subprocess.PIPE, stderr=None,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {int(timeout)}s"}
+    out = (r.stdout or b"").decode(errors="replace")
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    return {"error": f"no JSON from child (rc={r.returncode})",
+            "tail": out[-300:]}
+
+
+# per-mode subprocess timeouts: a mode that cannot finish inside its slot
+# is recorded as an error without eating the other modes' windows.  The
+# train-step compile over the axon relay measured ~22 min at batch 8 (r4);
+# batch 16 dies (OOM on the smp-exact model) — hence the b8 default.
+_MODE_TIMEOUTS = {"infer": 600.0, "train": 1650.0, "eval": 600.0,
+                  "tiled": 420.0}
+
+
+def _aggregate(plan, results) -> dict:
+    head = results.get(plan[0]) or {"error": "not run"}
+    out = {
+        "metric": head.get(
+            "metric", f"enhanced_unet_512_{plan[0]}_images_per_sec_per_chip"),
+        "value": head.get("value", 0.0),
+        "unit": "images/sec",
+        "vs_baseline": head.get("vs_baseline", 0.0),
+    }
+    if "error" in head:
+        out["error"] = head["error"]
+    extra = {m: results[m] for m in plan[1:] if m in results}
+    if extra:
+        out["modes"] = extra
+    return out
+
+
+def orchestrate() -> None:
+    import signal
+
+    budget = float(os.environ.get("BENCH_BUDGET", "3300"))
+    t0 = time.time()
+    deadline = t0 + budget
+
+    plan = [os.environ["BENCH_MODE"]] if os.environ.get("BENCH_MODE") \
+        else list(_MODES)
+    results = {}
+
+    def _emit_and_exit(signum, frame):
+        # the driver's own timeout fired mid-capture: still leave a
+        # parseable artifact with whatever modes completed
+        partial = _aggregate(plan, results)
+        partial.setdefault("error", f"killed by signal {signum} mid-capture")
+        print(json.dumps(partial), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+
+    if not _probe_backend(deadline):
+        print(json.dumps({
+            "metric": "enhanced_unet_512_infer_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+            "error": "backend_unavailable",
+        }))
+        return
+
+    for mode in plan:
+        remaining = deadline - time.time()
+        if remaining < 90:
+            results[mode] = {"error": "skipped: budget exhausted"}
+            continue
+        mode_timeout = float(os.environ.get(
+            "BENCH_MODE_TIMEOUT", _MODE_TIMEOUTS.get(mode, 600.0)))
+        res = _run_mode(mode, min(mode_timeout, remaining))
+        if "error" in res and mode == plan[0] \
+                and deadline - time.time() > 120:
+            # the headline number gets one retry inside the window (the
+            # tunnel flaps; a single transient kill shouldn't zero the round)
+            print(f"bench: retrying {mode}: {res['error']}", file=sys.stderr)
+            res = _run_mode(mode, min(mode_timeout, deadline - time.time()))
+        results[mode] = res
+
+    print(json.dumps(_aggregate(plan, results)))
+
+
+# ---------------------------------------------------------------------------
+# child (one mode; jax imported here)
+# ---------------------------------------------------------------------------
+
+def run_child(mode: str) -> None:
+    # persistent compilation cache: repeat bench runs skip the XLA compile
+    # on standard TPU runtimes (ineffective under the axon remote-compile
+    # relay, which bypasses the local executable cache; kept for real pods)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # batch 64 is the measured throughput-optimal serving batch on v5e for
+    # inference (188.6 img/s vs 160.6 at 32; 96 OOMs) — reference fusion
+    # placement, packed decoder.  train carries fwd+bwd+opt state: batch 8
+    # is the largest measured-safe training batch on the smp-exact model
+    # (16 died on-device in the r4 capture attempts).
+    mode_default_batch = {"infer": "64", "train": "8", "eval": "16",
+                          "tiled": "8"}
+    batch = int(os.environ.get("BENCH_BATCH", mode_default_batch[mode]))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    mode = os.environ.get("BENCH_MODE", "infer")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     model_name = os.environ.get("BENCH_MODEL", "enhanced_unet")
 
     from enhanced_unet_tpu.config import get_preset
@@ -87,7 +247,10 @@ def main():
     # honored); a single chained program with a scalar device->host fetch is
     # immune to both effects and costs one RTT total.
     if mode == "train":
-        from enhanced_unet_tpu.train.trainer import create_train_state, make_train_step
+        from enhanced_unet_tpu.train.trainer import (
+            create_train_state,
+            make_train_step,
+        )
 
         cfg = get_preset(model_name, num_epochs=50)
         state = create_train_state(
@@ -109,12 +272,13 @@ def main():
         state = run_n(state, 1)  # compile
         _ = float(jnp.sum(state.step))  # sync
         times = []
-        for _rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+        for _rep in range(reps):
             t0 = time.perf_counter()
             state = run_n(state, steps)
             _ = float(jnp.sum(state.step))  # sync via scalar fetch
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
+        ips = batch * steps / dt
         metric = f"{model_name}_{size}_train"
     elif mode == "eval":
         # the real serving path: enhance (CLAHE+sharpen) -> TTA (5 views,
@@ -140,13 +304,62 @@ def main():
 
         _ = float(run_n(state.params, state.batch_stats, x, 1))  # compile
         times = []
-        for _rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+        for _rep in range(reps):
             t0 = time.perf_counter()
             checksum = float(run_n(state.params, state.batch_stats, x, steps))
             times.append(time.perf_counter() - t0)
             assert checksum == checksum, "NaN checksum"
         dt = float(np.median(times))
+        ips = batch * steps / dt
         metric = f"{model_name}_{size}_eval"
+    elif mode == "tiled":
+        # the long-context subsystem: full-resolution sliding-window
+        # inference with Hann overlap-blend stitching (the reference instead
+        # DOWNSCALES big inputs, dataset.py:143-158 — it has no full-res
+        # path at all).  Fixed 2048^2 synthetic input, tile 512/overlap 64;
+        # the tile forward is compiled once (Evaluator.predict_probs_tiled),
+        # stitching is host-side numpy.  Throughput unit: full-res images.
+        from types import SimpleNamespace
+
+        from enhanced_unet_tpu.train.evaluator import Evaluator
+
+        img_size = int(os.environ.get("BENCH_TILE_IMAGE", "2048"))
+        tile = int(os.environ.get("BENCH_TILE", "512"))
+        overlap = int(os.environ.get("BENCH_TILE_OVERLAP", "64"))
+        n_imgs = int(os.environ.get("BENCH_STEPS", "4"))
+
+        state = SimpleNamespace(
+            apply_fn=model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        ev = Evaluator(state, model_name, verbose=False, tiled=True,
+                       tile=tile, overlap=overlap, tile_batch=batch)
+        img = np.asarray(rng.random((img_size, img_size, 3)), np.float32)
+        _ = ev.predict_semantic_mask(img)  # compile (tile program)
+        times = []
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_imgs):
+                m = ev.predict_semantic_mask(img)  # host array = hard sync
+            times.append(time.perf_counter() - t0)
+            assert np.isfinite(float(m.sum()))
+        dt = float(np.median(times))
+        ips = n_imgs / dt
+        # per-tile work equivalent for the vs_baseline denominator: the
+        # A100 estimate is per 512^2 forward; one full-res image costs
+        # n_tiles of them (the reference has no full-res mode to compare)
+        from enhanced_unet_tpu.ops.tiling import _tile_positions
+        n_tiles = len(_tile_positions(img_size, tile, tile - overlap)) ** 2
+        metric = f"{model_name}_{img_size}_tiled"
+        print(json.dumps({
+            "metric": f"{metric}_images_per_sec_per_chip",
+            "value": round(ips, 3),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / (A100_REFERENCE_IPS / n_tiles), 3),
+            "n_tiles": n_tiles,
+        }))
+        return
     else:
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
@@ -166,15 +379,15 @@ def main():
 
         _ = float(run_n(params, batch_stats, x, 1))  # compile + sync
         times = []
-        for _rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+        for _rep in range(reps):
             t0 = time.perf_counter()
             checksum = float(run_n(params, batch_stats, x, steps))
             times.append(time.perf_counter() - t0)
             assert checksum == checksum, "NaN checksum"
         dt = float(np.median(times))
+        ips = batch * steps / dt
         metric = f"{model_name}_{size}_infer"
 
-    ips = batch * steps / dt
     baseline = {
         "train": A100_REFERENCE_TRAIN_IPS,
         "eval": A100_REFERENCE_EVAL_IPS,
@@ -185,6 +398,14 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 3),
     }))
+
+
+def main():
+    child = os.environ.get("BENCH_CHILD")
+    if child:
+        run_child(child)
+    else:
+        orchestrate()
 
 
 if __name__ == "__main__":
