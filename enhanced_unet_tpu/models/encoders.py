@@ -120,6 +120,11 @@ _EFFNET_BASE = (
 
 # (width_mult, depth_mult)
 _EFFNET_SCALE = {
+    # structure-identical minimal variant (1 block per stage, 8-80 ch):
+    # same stage count / stride pattern / taps / SE / stochastic-depth as
+    # the real scalings, at a fraction of the graph — used by compile-bound
+    # harnesses (the virtual-CPU-mesh dryrun, the flagship training oracle)
+    "efficientnet-tiny": (0.25, 0.25),
     "efficientnet-b0": (1.0, 1.0),
     "efficientnet-b1": (1.0, 1.1),
     "efficientnet-b2": (1.1, 1.2),
@@ -323,6 +328,11 @@ class EfficientNetEncoder(nn.Module):
     # pallas_infer=False for that use.  Training (train=True) always takes
     # the stock XLA path and is unaffected.
     pallas_infer: Any = True
+    # run stages 0-1 (the 2-3%-MFU high-res segment) on the channel-major
+    # s2d packing: depthwise -> fg=C grouped conv, 1x1 -> block-diagonal
+    # kron kernel — same math, same param tree (PackedMBConvCM), ~4x less
+    # lane-padded HBM traffic.  Receipt: benchmarks/enc_packed_bench.py.
+    packed_highres: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -364,11 +374,21 @@ class EfficientNetEncoder(nn.Module):
         # output_stride 16: the transition entering stage 5 keeps stride 1
         # and stages 5-6 dilate their depthwise convs (smp make_dilated)
         dilated_stages = {5, 6} if self.output_stride == 16 else set()
+        from enhanced_unet_tpu.models.packed_blocks import PackedMBConvCM
+        from enhanced_unet_tpu.ops.s2d import (
+            depth_to_space_cm,
+            space_to_depth_cm,
+        )
+
+        packed_now = False  # y currently channel-major packed
         for stage_idx, (e, c, r, s, k) in enumerate(_EFFNET_BASE):
             if stage_idx >= self.max_stages:
                 break
             out_c = _round_filters(c, width_mult)
             repeats = _round_repeats(r, depth_mult)
+            # the packed segment: stages 0-1 (k3, never dilated)
+            in_segment = (bool(self.packed_highres) and stage_idx <= 1
+                          and k == 3 and stage_idx not in dilated_stages)
             for b in range(repeats):
                 strides = (s, s) if b == 0 else (1, 1)
                 dilation = 1
@@ -377,11 +397,36 @@ class EfficientNetEncoder(nn.Module):
                     dilation = 2
                 if b == 0 and stage_idx in tap_stages:
                     y, is_nchw = to_nhwc(y, is_nchw)
+                    if packed_now:
+                        y = depth_to_space_cm(y)
+                        packed_now = False
                     feats.append(y)
                 drop = self.drop_connect_rate * block_idx / max(total_blocks, 1)
+                if in_segment and not packed_now and strides == (1, 1) \
+                        and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0:
+                    y, is_nchw = to_nhwc(y, is_nchw)
+                    y = space_to_depth_cm(y)
+                    packed_now = True
+                if packed_now:
+                    y = PackedMBConvCM(
+                        in_c, out_c, e, stride2_exit=strides == (2, 2),
+                        drop_rate=drop, dtype=self.dtype,
+                        name=f"MBConvBlock_{block_idx}")(y, train)
+                    if strides == (2, 2):
+                        # the stride-2 depthwise consumed the packing;
+                        # re-pack for the rest of the segment if possible
+                        packed_now = False
+                        if (b + 1 < repeats and y.shape[1] % 2 == 0
+                                and y.shape[2] % 2 == 0):
+                            y = space_to_depth_cm(y)
+                            packed_now = True
+                    in_c = out_c
+                    block_idx += 1
+                    continue
                 block = MBConvBlock(
                     in_c, out_c, e, strides, k,
                     drop_rate=drop, dilation=dilation, dtype=self.dtype,
+                    name=f"MBConvBlock_{block_idx}",
                 )
                 # stage 0 only: the expand (ratio-6) blocks of stage 1
                 # measured ~4x SLOWER in the fused kernel (per-block trace
@@ -406,6 +451,8 @@ class EfficientNetEncoder(nn.Module):
                 in_c = out_c
                 block_idx += 1
         y, is_nchw = to_nhwc(y, is_nchw)
+        if packed_now:
+            y = depth_to_space_cm(y)
         feats.append(y)
         return feats
 

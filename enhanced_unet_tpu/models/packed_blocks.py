@@ -42,12 +42,17 @@ from enhanced_unet_tpu.ops.s2d import (
 Dtype = Any
 
 
+# Packed-conv lowering: "stuffed" (3x3 zero-stuffed kernel, 4x MACs) or
+# "aligned22" (2x2 VALID + output slices, 16/9 MACs).  Same math either way
+# (tests/test_s2d.py); the default is the variant that measures faster on
+# TPU (benchmarks/packed_conv_variants.py).  Read ONCE at import: traced
+# programs bake the choice in, so a post-compile env change could not take
+# effect anyway — set EUNET_S2D_IMPL before importing the package.
+_S2D_IMPL = os.environ.get("EUNET_S2D_IMPL", "stuffed")
+
+
 def _s2d_impl() -> str:
-    """Packed-conv lowering: "stuffed" (3x3 zero-stuffed kernel, 4x MACs) or
-    "aligned22" (2x2 VALID + output slices, 16/9 MACs).  Same math either
-    way (tests/test_s2d.py); the default is the variant that measures
-    faster on TPU (benchmarks/packed_conv_variants.py)."""
-    return os.environ.get("EUNET_S2D_IMPL", "stuffed")
+    return _S2D_IMPL
 
 
 class PackedBatchNorm(nn.Module):
@@ -375,4 +380,199 @@ class PackedNestedBlock(nn.Module):
             [x], train)
         if self.use_scse:
             y = PackedSCSE(dtype=self.dtype, name="SCSEBlock_1")(y)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# CHANNEL-MAJOR packed encoder blocks (EfficientNet high-res segment)
+#
+# The encoder's high-res stages (stem output through stage 1) run 24-48
+# channel tensors at 256-512px: every depthwise / SE / BN pass pays 3-5x
+# lane-padded HBM traffic, and XLA's depthwise emitter holds the stages at
+# 2-3% MFU (docs/ARCHITECTURE.md "Pallas verdict").  These modules compute
+# the SAME math on the channel-major packing (ops/s2d.py space_to_depth_cm)
+# where the depthwise becomes a fg=C grouped conv and 1x1s become
+# block-diagonal kron kernels.  Param trees match MBConvBlock exactly
+# (same Conv_i / BatchNorm_i names and logical shapes), so
+# EfficientNetEncoder(packed_highres=True/False) share one checkpoint.
+# Receipt: benchmarks/enc_packed_bench.py.
+# ---------------------------------------------------------------------------
+
+from enhanced_unet_tpu.ops.s2d import (  # noqa: E402
+    dw_kernel_cm,
+    dw_s2_kernel_cm,
+    pw_kernel_cm,
+)
+
+
+class PackedBatchNormCM(nn.Module):
+    """BatchNorm over CHANNEL-MAJOR packed [N,h,w,4C] equal to nn.BatchNorm
+    over the logical [N,2h,2w,C] (cf. PackedBatchNorm, which handles the
+    natural/position-major layout).  Param/stat tree matches nn.BatchNorm.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            m4 = jnp.mean(xf, axis=(0, 1, 2))            # [4C]
+            v4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            # channel-major: the four sub-position replicas of logical
+            # channel c are contiguous -> reshape (C, 4)
+            mean = m4.reshape(c, 4).mean(axis=1)
+            var = v4.reshape(c, 4).mean(axis=1) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        inv4 = jnp.repeat(inv, 4).astype(self.dtype)
+        b4 = jnp.repeat(bias - mean * inv, 4).astype(self.dtype)
+        return x.astype(self.dtype) * inv4 + b4
+
+
+class _PackedPointwiseCM(nn.Module):
+    """1x1 conv on the channel-major packing, param-compatible with nn.Conv
+    (param "kernel" of logical shape [1,1,Cin,Cout])."""
+
+    features: int
+    in_features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features),
+                            jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), pw_kernel_cm(kernel).astype(self.dtype),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + jnp.repeat(bias, 4).astype(y.dtype)
+        return y
+
+
+class _PackedDepthwiseCM(nn.Module):
+    """Depthwise 3x3 on the channel-major packing, param-compatible with
+    DepthwiseConv (param "kernel" [3,3,1,C]).  stride2_exit computes the
+    logical stride-2 depthwise and emits the UNPACKED half-res tensor."""
+
+    features: int
+    stride2_exit: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        if self.stride2_exit:
+            # TF-SAME stride-2 k3 at even sizes pads (0,1): see
+            # ops/s2d.py dw_s2_kernel_cm
+            return jax.lax.conv_general_dilated(
+                x, dw_s2_kernel_cm(kernel).astype(self.dtype), (1, 1),
+                ((0, 1), (0, 1)), feature_group_count=self.features,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, dw_kernel_cm(kernel).astype(self.dtype), (1, 1), "SAME",
+            feature_group_count=self.features,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class PackedMBConvCM(nn.Module):
+    """Channel-major packed twin of MBConvBlock (k=3, dilation 1): same
+    param tree, same math.  stride2_exit=True implements the stride-2
+    transition block — packed input, UNPACKED output (the depthwise
+    consumes the packing), with the SE/project stage running plain.
+    """
+
+    in_features: int
+    out_features: int
+    expand_ratio: int
+    stride2_exit: bool = False
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp, train: bool = False):
+        ci = iter(range(10))
+        bi = iter(range(10))
+
+        def bn_packed(y):
+            return PackedBatchNormCM(
+                use_running_average=not train, dtype=self.dtype,
+                name=f"BatchNorm_{next(bi)}")(y)
+
+        def bn_plain(y):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                epsilon=1e-3, dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name=f"BatchNorm_{next(bi)}")(y)
+
+        residual = xp
+        mid = self.in_features * self.expand_ratio
+        y = xp
+        if self.expand_ratio != 1:
+            y = _PackedPointwiseCM(mid, self.in_features, dtype=self.dtype,
+                                   name=f"Conv_{next(ci)}")(y)
+            y = nn.silu(bn_packed(y))
+        y = _PackedDepthwiseCM(mid, stride2_exit=self.stride2_exit,
+                               dtype=self.dtype,
+                               name=f"Conv_{next(ci)}")(y)
+        if self.stride2_exit:
+            # unpacked from here on: plain BN/SE/project
+            y = nn.silu(bn_plain(y))
+            s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        else:
+            y = nn.silu(bn_packed(y))
+            s4 = jnp.mean(y, axis=(1, 2), keepdims=True)      # [N,1,1,4mid]
+            s = s4.reshape(s4.shape[0], 1, 1, mid, 4).mean(-1)  # logical pool
+        se_c = max(1, int(self.in_features * self.se_ratio))
+        s = nn.Conv(se_c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"Conv_{next(ci)}")(s)
+        s = nn.silu(s)
+        s = nn.Conv(mid, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"Conv_{next(ci)}")(s)
+        gate = nn.sigmoid(s)
+        if self.stride2_exit:
+            y = y * gate
+            y = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"Conv_{next(ci)}")(y)
+            y = bn_plain(y)
+            return y  # stride 2: never a skip
+        y = y * jnp.repeat(gate, 4, axis=-1)
+        y = _PackedPointwiseCM(self.out_features, mid, dtype=self.dtype,
+                               name=f"Conv_{next(ci)}")(y)
+        y = bn_packed(y)
+        if self.in_features == self.out_features:
+            if train and self.drop_rate > 0.0:
+                keep = 1.0 - self.drop_rate
+                rng = self.make_rng("dropout")
+                mask = jnp.floor(
+                    keep + jax.random.uniform(rng, (y.shape[0], 1, 1, 1))
+                ).astype(y.dtype)
+                y = y / keep * mask
+            y = y + residual
         return y

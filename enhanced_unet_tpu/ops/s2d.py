@@ -226,6 +226,75 @@ def conv3x3_s2d(
     return y
 
 
+# ---------------------------------------------------------------------------
+# CHANNEL-MAJOR packing (encoder high-res segment)
+#
+# The decoder uses the natural/position-major layout above (channel index
+# (a*2+b)*C + c) because its convs are dense 4C->4C.  The ENCODER's hot op
+# is the depthwise conv, which in packed space mixes only the four
+# sub-position planes of ONE logical channel — a grouped conv whose groups
+# must be contiguous channels, so the encoder segment packs CHANNEL-MAJOR
+# (index c*4 + (a*2+b)).  benchmarks/enc_packed_bench.py is the receipt.
+# ---------------------------------------------------------------------------
+
+def space_to_depth_cm(x: jnp.ndarray) -> jnp.ndarray:
+    """[N,H,W,C] -> [N,H/2,W/2,4C], channel-major (index c*4 + (a*2+b))."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space_cm(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `space_to_depth_cm`."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, c, 2, 2).transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def dw_kernel_cm(w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise [3,3,1,C] (flax depthwise layout) -> grouped zero-stuffed
+    [3,3,4,4C] kernel: conv(feature_group_count=C) over the channel-major
+    packing == packing of the logical depthwise 3x3 SAME conv.  Group c
+    covers packed channels [4c, 4c+4)."""
+    wdw = w[:, :, 0, :]                      # [3,3,C]
+    sel = jnp.asarray(_SEL_SAME, w.dtype)
+    k = jnp.einsum("YdAu,XeBv,uvc->YXdecAB", sel, sel, wdw)
+    return k.reshape(3, 3, 4, wdw.shape[2] * 4)
+
+
+def pw_kernel_cm(w: jnp.ndarray) -> jnp.ndarray:
+    """1x1 [1,1,Ci,Co] -> channel-major block-diagonal [1,1,4Ci,4Co]
+    (kron(w, I4)): the logical per-pixel projection applied to each of the
+    four sub-positions."""
+    ci, co = w.shape[2], w.shape[3]
+    return jnp.kron(w[0, 0], jnp.eye(4, dtype=w.dtype)).reshape(
+        1, 1, 4 * ci, 4 * co)
+
+
+# stride-2 depthwise consuming a channel-major packed tensor: with TF-SAME
+# stride-2 k3 at even sizes (pad low 0 / high 1), logical out(Y,X) reads
+# logical rows 2Y..2Y+2 = packed row Y (both sub-rows) + packed row Y+1
+# (sub-row 0): a 2x2 conv over the packed grid with (0,1) padding.
+# _SEL_S2[dy, a, u] = 1 iff u == 2*dy + a.
+_SEL_S2 = np.zeros((2, 2, 3), np.float32)
+for _dy in range(2):
+    for _a in range(2):
+        if 2 * _dy + _a <= 2:
+            _SEL_S2[_dy, _a, 2 * _dy + _a] = 1.0
+
+
+def dw_s2_kernel_cm(w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise [3,3,1,C] stride-2 -> [2,2,4,C] grouped kernel over the
+    channel-major packed input; the conv output is the UNPACKED
+    half-resolution tensor (use padding ((0,1),(0,1)))."""
+    wdw = w[:, :, 0, :]
+    sel = jnp.asarray(_SEL_S2, w.dtype)
+    k = jnp.einsum("dAu,eBv,uvc->decAB", sel, sel, wdw)  # [2,2,C,2,2]
+    return k.transpose(0, 1, 3, 4, 2).reshape(2, 2, 4, wdw.shape[2])
+
+
 def packed_1x1_spatial_kernel(w: jnp.ndarray, bias=None):
     """Pack a 1x1 HWIO kernel [1,1,C,K] into a block-diagonal
     [1,1,4C,4K] kernel computing the same per-pixel projection per
