@@ -16,8 +16,15 @@ __all__ = ["init_variables"]
 
 
 def init_variables(model, rngs, dummy, train: bool = False):
-    """``model.init`` with backend-appropriate dispatch (see module doc)."""
+    """``model.init`` with backend-appropriate dispatch (see module doc).
+
+    EUNET_JIT_INIT=1 forces the jitted path on CPU too — set by harnesses
+    whose model is small enough that one init compile beats thousands of
+    eager dispatches (the tiny-encoder multichip dryrun)."""
+    import os
+
     init = lambda r, z: model.init(r, z, train=train)
-    if jax.default_backend() != "cpu":
+    if (jax.default_backend() != "cpu"
+            or os.environ.get("EUNET_JIT_INIT") == "1"):
         init = jax.jit(init)
     return init(rngs, dummy)

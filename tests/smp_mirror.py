@@ -396,6 +396,7 @@ class TorchEfficientNet(nn.Module):
 
 _EFFNET_OUT = {
     # smp encoders/efficientnet.py out_channels
+    "efficientnet-tiny": (3, 8, 8, 16, 32, 80),  # see encoders._EFFNET_SCALE
     "efficientnet-b0": (3, 32, 24, 40, 112, 320),
     "efficientnet-b4": (3, 48, 32, 56, 160, 448),
     "efficientnet-b5": (3, 48, 40, 64, 176, 512),
@@ -435,12 +436,19 @@ class SMPDeepLabV3Plus(nn.Module):
 
 
 class SMPEnhancedUNet(nn.Module):
-    """The reference's EnhancedUNet smp branch (models.py:246-343)."""
+    """The reference's EnhancedUNet smp branch (models.py:246-343).
 
-    def __init__(self, num_classes=3):
+    encoders: (UNet++ branch, DeepLabV3+ branch) — (b5, b4) is the
+    reference pairing; the training oracle runs the identical structure on
+    efficientnet-tiny."""
+
+    def __init__(self, num_classes=3,
+                 encoders=("efficientnet-b5", "efficientnet-b4")):
         super().__init__()
-        self.unetpp = SMPUnetPlusPlus(classes=num_classes)
-        self.deeplab = SMPDeepLabV3Plus(classes=num_classes)
+        self.unetpp = SMPUnetPlusPlus(classes=num_classes,
+                                      encoder_name=encoders[0])
+        self.deeplab = SMPDeepLabV3Plus(classes=num_classes,
+                                        encoder_name=encoders[1])
         fusion_channels = num_classes * 2
         self.attention_gate = nn.Sequential(
             nn.Conv2d(fusion_channels, fusion_channels // 2, kernel_size=3,
