@@ -135,6 +135,9 @@ class Evaluator:
         self._probs_pipeline = jax.jit(probs_pipeline)
         self._enhance = jax.jit(enhance)
         self._tile_fwd = jax.jit(tile_fwd)
+        self._tile_fwd_raw = tile_fwd  # untraced body for the device program
+        self._enhance_raw = enhance
+        self._tiled_programs: dict = {}  # (h, w) -> jitted device program
 
     def update_state(self, state) -> None:
         """Swap in fresh parameters (same model/shape): keeps all compiled
@@ -150,6 +153,23 @@ class Evaluator:
         one compiled tile program regardless of image size).
         """
         if self.tiled:
+            h, w = int(image01.shape[0]), int(image01.shape[1])
+            # fixed-shape serving gets the WHOLE tiled pipeline as one
+            # device program (one image upload, tiles cut / forwarded /
+            # Hann-stitched / thresholded on device, one int-mask
+            # download).  The host-stitching path (predict_probs_tiled)
+            # remains for shape churn: it reuses one tile program for any
+            # size, but pays a full tile-batch upload + probs download per
+            # image — ruinous over a remote relay (measured 32 s/img over
+            # the axon tunnel vs device-side stitching).
+            if (h, w) in self._tiled_programs or len(self._tiled_programs) < 8:
+                prog = self._tiled_programs.get((h, w))
+                if prog is None:
+                    prog = self._make_device_tiled_program(h, w)
+                    self._tiled_programs[(h, w)] = prog
+                return np.asarray(prog(
+                    self.state.params, self.state.batch_stats,
+                    jnp.asarray(image01, jnp.float32)))
             probs = self.predict_probs_tiled(image01)
             return np.asarray(convert_probs_to_mask(jnp.asarray(probs)))
         return np.asarray(
@@ -158,6 +178,56 @@ class Evaluator:
                 jnp.asarray(image01, jnp.float32),
             )
         )
+
+    def _make_device_tiled_program(self, h: int, w: int):
+        """Jitted [h,w,3] image -> [h,w] int mask: enhance -> static tile
+        grid -> chunked tile forwards (TTA per tile iff enabled, same as
+        the host path) -> Hann overlap-blend accumulation -> threshold
+        cascade, all in ONE device program for this image shape."""
+        from enhanced_unet_tpu.ops.tiling import _tile_positions, hann_window_2d
+
+        tile, overlap = self.tile, self.overlap
+        stride = tile - overlap
+        if stride <= 0:
+            raise ValueError("overlap must be smaller than tile")
+        pad_h, pad_w = max(tile - h, 0), max(tile - w, 0)
+        ph, pw = h + pad_h, w + pad_w
+        positions = [
+            (y, x)
+            for y in _tile_positions(ph, tile, stride)
+            for x in _tile_positions(pw, tile, stride)
+        ]
+        window = jnp.asarray(hann_window_2d(tile))[..., None]
+        bs = self.tile_batch
+        tile_fwd = self._tile_fwd_raw
+        enhance = self._enhance_raw
+
+        def run(params, batch_stats, img):
+            img = enhance(img)
+            if pad_h or pad_w:
+                img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)),
+                              mode="reflect")
+            tiles = jnp.stack(
+                [img[y:y + tile, x:x + tile] for (y, x) in positions])
+            n = tiles.shape[0]
+            n_pad = (-n) % bs
+            if n_pad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((n_pad, tile, tile, 3), tiles.dtype)])
+            chunks = [
+                tile_fwd(params, batch_stats, tiles[s:s + bs])
+                for s in range(0, tiles.shape[0], bs)
+            ]
+            probs = jnp.concatenate(chunks)[:n]
+            acc = jnp.zeros((ph, pw, probs.shape[-1]), jnp.float32)
+            wacc = jnp.zeros((ph, pw, 1), jnp.float32)
+            for i, (y, x) in enumerate(positions):
+                acc = acc.at[y:y + tile, x:x + tile].add(probs[i] * window)
+                wacc = wacc.at[y:y + tile, x:x + tile].add(window)
+            full = (acc / jnp.maximum(wacc, 1e-8))[:h, :w]
+            return convert_probs_to_mask(full)
+
+        return jax.jit(run)
 
     def predict_semantic_masks(self, images01: np.ndarray) -> np.ndarray:
         """Batched serving path: [B,H,W,3] float in [0,1] -> int masks

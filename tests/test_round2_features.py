@@ -142,6 +142,27 @@ def test_tiled_mask_agrees_with_whole_image(rng):
     assert agreement > 0.98, agreement
 
 
+def test_device_tiled_program_matches_host_stitching(rng):
+    """The one-device-program tiled pipeline (r4: one image upload, tiles
+    cut/stitched/thresholded on device — the host-stitch path measured
+    32 s/img over the axon relay from tile-batch uploads) computes the
+    SAME mask as the host-stitching path."""
+    state = _tiny_state()
+    img = rng.random((192, 320, 3)).astype(np.float32)
+    ev = Evaluator(state, "unet_basic", enable_tta=False, verbose=False,
+                   tiled=True, tile=96, overlap=32)
+    # device program path (shape cache fills)
+    m_dev = ev.predict_semantic_mask(img)
+    assert (192, 320) in ev._tiled_programs
+    # host-stitch path on the same evaluator
+    from enhanced_unet_tpu.ops.thresholding import convert_probs_to_mask
+
+    probs_host = ev.predict_probs_tiled(img)
+    m_host = np.asarray(convert_probs_to_mask(jnp.asarray(probs_host)))
+    assert m_dev.shape == m_host.shape
+    np.testing.assert_array_equal(m_dev, m_host)
+
+
 def test_evaluate_model_tiled_flag(data_dir, tmp_path):
     """The public evaluate_model(tiled=True) path produces the full metric
     dict (CLI --tiled)."""
