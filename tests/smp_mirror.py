@@ -298,6 +298,12 @@ def tf_same_pad(x, k, s):
     return F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
 
 
+# efficientnet-pytorch: bn_mom = 1 - batch_norm_momentum(0.99) = 0.01
+# (slow stat adaptation — our flax encoder BNs mirror it as momentum=0.99);
+# the smp DECODER BNs keep torch's default 0.1
+_EFFNET_BN_MOM = 0.01
+
+
 class TorchMBConv(nn.Module):
     def __init__(self, cin, cout, expand, stride, k, dilation=1):
         super().__init__()
@@ -306,17 +312,17 @@ class TorchMBConv(nn.Module):
         mid = cin * expand
         if expand != 1:
             self._expand_conv = nn.Conv2d(cin, mid, 1, bias=False)
-            self._bn0 = nn.BatchNorm2d(mid, eps=1e-3)
+            self._bn0 = nn.BatchNorm2d(mid, eps=1e-3, momentum=_EFFNET_BN_MOM)
         self.expand = expand
         self._depthwise_conv = nn.Conv2d(
             mid, mid, k, stride, groups=mid, bias=False,
             dilation=dilation)
-        self._bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+        self._bn1 = nn.BatchNorm2d(mid, eps=1e-3, momentum=_EFFNET_BN_MOM)
         se_c = max(1, int(cin * 0.25))
         self._se_reduce = nn.Conv2d(mid, se_c, 1)
         self._se_expand = nn.Conv2d(se_c, mid, 1)
         self._project_conv = nn.Conv2d(mid, cout, 1, bias=False)
-        self._bn2 = nn.BatchNorm2d(cout, eps=1e-3)
+        self._bn2 = nn.BatchNorm2d(cout, eps=1e-3, momentum=_EFFNET_BN_MOM)
 
     def forward(self, x):
         y = x
@@ -357,7 +363,7 @@ class TorchEfficientNet(nn.Module):
         wm, dm = _EFFNET_SCALE[variant]
         stem_c = _round_filters(32, wm)
         self._conv_stem = nn.Conv2d(3, stem_c, 3, 2, bias=False)
-        self._bn0 = nn.BatchNorm2d(stem_c, eps=1e-3)
+        self._bn0 = nn.BatchNorm2d(stem_c, eps=1e-3, momentum=_EFFNET_BN_MOM)
         blocks = []
         self._capture = []
         cin = stem_c
