@@ -28,8 +28,8 @@ Env knobs: BENCH_MODE (unset = all of infer+train+eval+tiled; or one of
 them), BENCH_BATCH (per-mode defaults below), BENCH_SIZE (512),
 BENCH_STEPS (20), BENCH_REPS (3 timed repetitions; median reported),
 BENCH_MODEL (enhanced_unet), BENCH_FUSION_STRIDE (1 = exact reference
-fusion-head placement), BENCH_BUDGET (total seconds, default 2400),
-BENCH_MODE_TIMEOUT (per-mode seconds, default 700), BENCH_PROBE_ATTEMPTS /
+fusion-head placement), BENCH_BUDGET (total seconds, default 4200),
+BENCH_MODE_TIMEOUT (per-mode seconds, see _MODE_TIMEOUTS), BENCH_PROBE_ATTEMPTS /
 BENCH_PROBE_SLEEP (backend probing), BENCH_TILE / BENCH_TILE_OVERLAP /
 BENCH_TILE_IMAGE (tiled-mode geometry).
 """
