@@ -109,7 +109,8 @@ def main(argv=None) -> int:
         "--pretrained-dir", type=str, default=None,
         help="directory of ImageNet encoder weight files (the exact "
              "upstream files smp downloads — see convert/pretrained.py "
-             "WEIGHT_MANIFEST); initializes encoders before training, "
+             "WEIGHT_MANIFEST; `--mode manifest` prints them); used with "
+             "--mode train to initialize encoders before training, "
              "reproducing the reference's encoder_weights='imagenet'")
     args = parser.parse_args(argv)
 

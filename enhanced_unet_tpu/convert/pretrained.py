@@ -7,7 +7,8 @@ module ships the exact MANIFEST of upstream files (the same ones smp
 fetches) plus a one-command import path: download the files anywhere with
 network access, drop them in a directory, and
 `initialize_pretrained(state, model_name, weights_dir)` (or
-`python -m enhanced_unet_tpu.cli --mode convert --pretrained-dir DIR`)
+`python -m enhanced_unet_tpu.cli --mode train --pretrained-dir DIR`;
+`--mode manifest` prints the required files)
 grafts them into the matching encoder subtree(s) of a TrainState.
 
 File integrity: torch.hub's convention embeds the first 8 hex chars of the
@@ -156,6 +157,6 @@ def initialize_pretrained(
         params, stats = import_encoder(
             params, stats, sd, kind, variant, tree_path, depth)
         imported.append(variant)
-        log(f"initialized {tree_path[-1] if tree_path else base} "
+        log(f"initialized {tree_path[-1] if tree_path else variant} "
             f"from {variant} ImageNet weights")
     return state.replace(params=params, batch_stats=stats), imported

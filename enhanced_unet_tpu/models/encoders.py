@@ -402,8 +402,11 @@ class EfficientNetEncoder(nn.Module):
                         packed_now = False
                     feats.append(y)
                 drop = self.drop_connect_rate * block_idx / max(total_blocks, 1)
+                # evenness must be tested on the true spatial dims: y may
+                # still be NCHW here (left by a Pallas-eligible block)
+                h_dim, w_dim = (2, 3) if is_nchw else (1, 2)
                 if in_segment and not packed_now and strides == (1, 1) \
-                        and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0:
+                        and y.shape[h_dim] % 2 == 0 and y.shape[w_dim] % 2 == 0:
                     y, is_nchw = to_nhwc(y, is_nchw)
                     y = space_to_depth_cm(y)
                     packed_now = True
