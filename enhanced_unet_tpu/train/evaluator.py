@@ -55,13 +55,19 @@ class Evaluator:
 
     def __init__(self, state, model_name: str, enable_tta: Optional[bool] = None,
                  verbose: bool = True, tiled: bool = False, tile: int = 512,
-                 overlap: int = 64, tile_batch: int = 8, mesh=None):
+                 overlap: int = 64, tile_batch: Optional[int] = None,
+                 mesh=None):
         self.state = state
         self.model_name = model_name
         self.verbose = verbose
         self.tiled = tiled
         self.tile = tile
         self.overlap = overlap
+        # None = auto: the device tiled program runs ALL tiles of an image
+        # as one forward (no pad waste, one dispatch — a 2048^2/512/64 grid
+        # is 25 tiles, well inside the measured batch-64 inference ceiling);
+        # the host-stitching fallback chunks at 8 so its fixed-shape tile
+        # program is reusable across image sizes
         self.tile_batch = tile_batch
         self.mesh = mesh
         # TTA iff enhanced_unet (train_eval.py:363)
@@ -131,7 +137,10 @@ class Evaluator:
                 apply_fn(tiles).astype(jnp.float32), axis=-1)
 
         self._pipeline = jax.jit(pipeline)
-        self._batch_pipeline = jax.jit(batch_pipeline)
+        # public: the jitted [B,H,W,3]->[B,H,W] serving pipeline (enhance ->
+        # TTA -> cascade); bench.py chains it through lax.fori_loop
+        self.batch_pipeline = jax.jit(batch_pipeline)
+        self._batch_pipeline = self.batch_pipeline  # back-compat alias
         self._probs_pipeline = jax.jit(probs_pipeline)
         self._enhance = jax.jit(enhance)
         self._tile_fwd = jax.jit(tile_fwd)
@@ -154,24 +163,29 @@ class Evaluator:
         """
         if self.tiled:
             h, w = int(image01.shape[0]), int(image01.shape[1])
-            # fixed-shape serving gets the WHOLE tiled pipeline as one
-            # device program (one image upload, tiles cut / forwarded /
-            # Hann-stitched / thresholded on device, one int-mask
-            # download).  The host-stitching path (predict_probs_tiled)
-            # remains for shape churn: it reuses one tile program for any
+            # fixed-shape single-chip serving gets the WHOLE tiled pipeline
+            # as one device program (one image upload, tiles cut /
+            # forwarded / Hann-stitched / thresholded on device, one uint8
+            # mask download).  The host-stitching path (predict_probs_tiled)
+            # remains for shape churn — it reuses one tile program for any
             # size, but pays a full tile-batch upload + probs download per
-            # image — ruinous over a remote relay (measured 32 s/img over
-            # the axon tunnel vs device-side stitching).
-            if (h, w) in self._tiled_programs or len(self._tiled_programs) < 8:
+            # image (measured 32 s/img over the axon relay vs device-side
+            # stitching) — and for multi-chip meshes, where it shards the
+            # tile batch over Mesh('data') (the device program would run
+            # single-device and silently lose the mesh).
+            if self.mesh is None and (
+                    (h, w) in self._tiled_programs
+                    or len(self._tiled_programs) < 8):
                 prog = self._tiled_programs.get((h, w))
                 if prog is None:
-                    prog = self._make_device_tiled_program(h, w)
+                    prog = jax.jit(self._tiled_run_body(h, w))
                     self._tiled_programs[(h, w)] = prog
                 return np.asarray(prog(
                     self.state.params, self.state.batch_stats,
                     jnp.asarray(image01, jnp.float32)))
             probs = self.predict_probs_tiled(image01)
-            return np.asarray(convert_probs_to_mask(jnp.asarray(probs)))
+            return np.asarray(convert_probs_to_mask(jnp.asarray(probs))
+                              .astype(jnp.uint8))
         return np.asarray(
             self._pipeline(
                 self.state.params, self.state.batch_stats,
@@ -179,11 +193,13 @@ class Evaluator:
             )
         )
 
-    def _make_device_tiled_program(self, h: int, w: int):
-        """Jitted [h,w,3] image -> [h,w] int mask: enhance -> static tile
-        grid -> chunked tile forwards (TTA per tile iff enabled, same as
-        the host path) -> Hann overlap-blend accumulation -> threshold
-        cascade, all in ONE device program for this image shape."""
+    def _tiled_run_body(self, h: int, w: int):
+        """Un-jitted [h,w,3] image -> [h,w] uint8 mask body: enhance ->
+        static tile grid -> tile forwards (one chunk covering the whole
+        grid by default — no padded-tile waste, one dispatch; TTA per tile
+        iff enabled, same as the host path) -> Hann overlap-blend
+        accumulation -> threshold cascade.  jit for the one-image device
+        program; vmap+jit for the batched multi-image program."""
         from enhanced_unet_tpu.ops.tiling import _tile_positions, hann_window_2d
 
         tile, overlap = self.tile, self.overlap
@@ -198,7 +214,7 @@ class Evaluator:
             for x in _tile_positions(pw, tile, stride)
         ]
         window = jnp.asarray(hann_window_2d(tile))[..., None]
-        bs = self.tile_batch
+        bs = self.tile_batch or len(positions)
         tile_fwd = self._tile_fwd_raw
         enhance = self._enhance_raw
 
@@ -218,16 +234,39 @@ class Evaluator:
                 tile_fwd(params, batch_stats, tiles[s:s + bs])
                 for s in range(0, tiles.shape[0], bs)
             ]
-            probs = jnp.concatenate(chunks)[:n]
+            probs = (chunks[0] if len(chunks) == 1
+                     else jnp.concatenate(chunks))[:n]
             acc = jnp.zeros((ph, pw, probs.shape[-1]), jnp.float32)
             wacc = jnp.zeros((ph, pw, 1), jnp.float32)
             for i, (y, x) in enumerate(positions):
                 acc = acc.at[y:y + tile, x:x + tile].add(probs[i] * window)
                 wacc = wacc.at[y:y + tile, x:x + tile].add(window)
             full = (acc / jnp.maximum(wacc, 1e-8))[:h, :w]
-            return convert_probs_to_mask(full)
+            # uint8 (values 0..2): the per-image mask download shrinks 4x
+            # vs int32 — 2048^2 is 4.2 MB instead of 16.8 MB per image,
+            # a first-order serving cost over a remote relay
+            return convert_probs_to_mask(full).astype(jnp.uint8)
 
-        return jax.jit(run)
+        return run
+
+    def predict_semantic_masks_tiled(self, images01: np.ndarray) -> np.ndarray:
+        """Batched tiled serving: [B,H,W,3] float in [0,1] -> uint8 masks
+        [B,H,W], full-resolution sliding-window semantics identical to
+        per-image predict_semantic_mask(tiled=True).  The whole batch is
+        ONE device program (vmapped tiled body: XLA folds the image axis
+        into the tile-batch axis of every conv), so per-call dispatch/RTT
+        amortises over B images — the multi-image throughput path for
+        uniform-size full-res serving."""
+        imgs = jnp.asarray(images01, jnp.float32)
+        b, h, w = int(imgs.shape[0]), int(imgs.shape[1]), int(imgs.shape[2])
+        key = ("batch", b, h, w)
+        prog = self._tiled_programs.get(key)
+        if prog is None:
+            prog = jax.jit(jax.vmap(self._tiled_run_body(h, w),
+                                    in_axes=(None, None, 0)))
+            self._tiled_programs[key] = prog
+        return np.asarray(prog(
+            self.state.params, self.state.batch_stats, imgs))
 
     def predict_semantic_masks(self, images01: np.ndarray) -> np.ndarray:
         """Batched serving path: [B,H,W,3] float in [0,1] -> int masks
@@ -235,7 +274,7 @@ class Evaluator:
         predict_semantic_mask, but the whole batch shares each forward —
         the throughput path for uniform-size serving (BENCH_MODE=eval)."""
         return np.asarray(
-            self._batch_pipeline(
+            self.batch_pipeline(
                 self.state.params, self.state.batch_stats,
                 jnp.asarray(images01, jnp.float32),
             )
@@ -272,7 +311,7 @@ class Evaluator:
         tiles = np.stack([img[y: y + tile, x: x + tile] for y, x in positions])
         n = len(positions)
 
-        bs = self.tile_batch
+        bs = self.tile_batch or 8
         if self.mesh is not None:
             # round the batch up to the mesh size and shard the tile axis
             bs = max(bs, self.mesh.devices.size)

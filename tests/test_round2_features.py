@@ -163,6 +163,34 @@ def test_device_tiled_program_matches_host_stitching(rng):
     np.testing.assert_array_equal(m_dev, m_host)
 
 
+def test_batched_tiled_program_matches_per_image(rng):
+    """predict_semantic_masks_tiled (r5: one vmapped device program per
+    image batch — per-call RTT amortises over B images) returns exactly
+    the per-image device-program masks, as uint8."""
+    state = _tiny_state()
+    imgs = rng.random((2, 192, 320, 3)).astype(np.float32)
+    ev = Evaluator(state, "unet_basic", enable_tta=False, verbose=False,
+                   tiled=True, tile=96, overlap=32)
+    m_batch = ev.predict_semantic_masks_tiled(imgs)
+    assert m_batch.shape == (2, 192, 320)
+    assert m_batch.dtype == np.uint8
+    for i in range(2):
+        m_single = ev.predict_semantic_mask(imgs[i])
+        np.testing.assert_array_equal(m_batch[i], m_single)
+
+
+def test_tiled_device_program_single_chunk_default(rng):
+    """tile_batch=None (the default) runs the whole grid as one chunk:
+    a 192x320/96/32 grid is 2x4=8 tiles with no pad waste."""
+    state = _tiny_state()
+    img = rng.random((192, 320, 3)).astype(np.float32)
+    ev = Evaluator(state, "unet_basic", enable_tta=False, verbose=False,
+                   tiled=True, tile=96, overlap=32)
+    assert ev.tile_batch is None
+    m = ev.predict_semantic_mask(img)
+    assert m.dtype == np.uint8 and m.shape == (192, 320)
+
+
 def test_evaluate_model_tiled_flag(data_dir, tmp_path):
     """The public evaluate_model(tiled=True) path produces the full metric
     dict (CLI --tiled)."""
