@@ -214,8 +214,13 @@ def run_child(mode: str) -> None:
     # placement, packed decoder.  train carries fwd+bwd+opt state: batch 8
     # is the largest measured-safe training batch on the smp-exact model
     # (16 died on-device in the r4 capture attempts).
-    mode_default_batch = {"infer": "64", "train": "8", "eval": "16",
-                          "tiled": "8"}
+    # tiled batch = IMAGES per batched tiled call (2 x 25 tiles = 50-tile
+    # effective forward, inside the measured batch-64 inference ceiling).
+    # eval 21: the TTA trio rides one [3B] forward, so B=21 puts the
+    # dominant program at the measured throughput-optimal effective batch
+    # (63 ~= 64); 16 left it at 48 (VERDICT r4 item 4).
+    mode_default_batch = {"infer": "64", "train": "8", "eval": "21",
+                          "tiled": "2"}
     batch = int(os.environ.get("BENCH_BATCH", mode_default_batch[mode]))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -231,6 +236,9 @@ def run_child(mode: str) -> None:
         kwargs["fusion_stride"] = fusion_stride
     if model_name == "enhanced_unet" and os.environ.get("BENCH_REMAT") == "1":
         kwargs["remat"] = True
+    # A/B knob for the r5 packed fusion entry (default: the model default)
+    if model_name == "enhanced_unet" and os.environ.get("BENCH_PACKED_FUSION"):
+        kwargs["packed_fusion"] = os.environ["BENCH_PACKED_FUSION"] == "1"
     model = get_model(model_name, dtype=jnp.bfloat16, **kwargs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)
@@ -300,7 +308,7 @@ def run_child(mode: str) -> None:
         @jax.jit
         def run_n(params, batch_stats, x, n):
             def body(i, carry):
-                masks = ev._batch_pipeline(params, batch_stats, x + carry * 0.0)
+                masks = ev.batch_pipeline(params, batch_stats, x + carry * 0.0)
                 return jnp.mean(masks.astype(x.dtype))
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
 
@@ -338,26 +346,32 @@ def run_child(mode: str) -> None:
         # enable_tta=False: this mode measures the TILING subsystem (grid +
         # stitching + cascade as one device program); the per-tile 5-view
         # TTA cost is the eval mode's story, and the per-tile baseline
-        # below is the plain-inference estimate
+        # below is the plain-inference estimate.  tile_batch=None: the
+        # whole 25-tile grid rides one forward (no padded-tile waste).
         ev = Evaluator(state, model_name, verbose=False, tiled=True,
-                       tile=tile, overlap=overlap, tile_batch=batch,
-                       enable_tta=False)
-        img = np.asarray(rng.random((img_size, img_size, 3)), np.float32)
-        # stage the image on device OUTSIDE the timed loop: a per-call
-        # 50 MB host->device upload over the axon relay swamps the device
-        # time (production serving pipelines uploads); the per-call mask
-        # download (4 MB) stays in the measurement as a real serving cost
-        img = jax.device_put(jnp.asarray(img))
-        _ = ev.predict_semantic_mask(img)  # compile (tile program)
+                       tile=tile, overlap=overlap, enable_tta=False)
+        # BENCH_BATCH images per call through the batched tiled program
+        # (vmapped body: one dispatch + one uint8 [B,H,W] download per B
+        # images — per-call RTT amortises over the batch)
+        imgs = np.asarray(
+            rng.random((batch, img_size, img_size, 3)), np.float32)
+        # stage the images on device OUTSIDE the timed loop: a per-call
+        # 50 MB/img host->device upload over the axon relay swamps the
+        # device time (production serving pipelines uploads); the per-call
+        # uint8 mask download (4.2 MB/img) stays in the measurement as a
+        # real serving cost
+        imgs = jax.device_put(jnp.asarray(imgs))
+        _ = ev.predict_semantic_masks_tiled(imgs)  # compile (tiled program)
+        n_calls = max(1, n_imgs // batch)
         times = []
         for _rep in range(reps):
             t0 = time.perf_counter()
-            for _ in range(n_imgs):
-                m = ev.predict_semantic_mask(img)  # host array = hard sync
+            for _ in range(n_calls):
+                m = ev.predict_semantic_masks_tiled(imgs)  # host = hard sync
             times.append(time.perf_counter() - t0)
             assert np.isfinite(float(m.sum()))
         dt = float(np.median(times))
-        ips = n_imgs / dt
+        ips = n_calls * batch / dt
         # per-tile work equivalent for the vs_baseline denominator: the
         # A100 estimate is per 512^2 forward; one full-res image costs
         # n_tiles of them (the reference has no full-res mode to compare)

@@ -32,6 +32,7 @@ from enhanced_unet_tpu.models.encoders import EfficientNetEncoder
 from enhanced_unet_tpu.ops.resize import (
     resize_bilinear,
     resize_bilinear_align_corners,
+    resize_bilinear_align_corners_s2d,
     upsample2x_nearest,
 )
 
@@ -123,6 +124,11 @@ class UNetPlusPlus(nn.Module):
     # 256-512px (ops/s2d.py; tests/test_s2d.py pins equivalence)
     packed_decoder: bool = True
     remat: bool = False
+    # return the head logits still in the natural s2d packing
+    # [N,H/2,W/2,4*num_classes] (the packed fusion gate consumes them
+    # without ever materialising the full-res 3-channel tensor); the
+    # caller depth_to_spaces when it needs full resolution
+    packed_output: bool = False
     # encoder stochastic depth (efficientnet-pytorch default 0.2); 0
     # disables — deterministic harnesses (the cross-framework training
     # oracle) need dropout off symmetrically
@@ -183,7 +189,8 @@ class UNetPlusPlus(nn.Module):
         if not self.full_res_head:
             logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
                              dtype=self.dtype, param_dtype=jnp.float32)(y)
-            return resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
+            logits = resize_bilinear(logits.astype(jnp.float32), x.shape[1:3])
+            return space_to_depth(logits) if self.packed_output else logits
         # final up block to full resolution (smp's x_0_4: no skip, so no
         # attention1; conv1+conv2+attention2, then the 3x3 head conv)
         if packed:
@@ -199,6 +206,8 @@ class UNetPlusPlus(nn.Module):
             logits_p = PackedConv3x3(
                 self.num_classes, head_c, use_bias=True,
                 dtype=self.dtype, name="Conv_0")(y, (head_c,))
+            if self.packed_output:
+                return logits_p.astype(jnp.float32)
             return depth_to_space(logits_p).astype(jnp.float32)
         y = upsample2x_nearest(y)
         y = DoubleConv(head_c, dtype=self.dtype, name="DoubleConv_0")(y, train)
@@ -207,6 +216,8 @@ class UNetPlusPlus(nn.Module):
         logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="Conv_0")(y)
+        if self.packed_output:
+            return space_to_depth(logits.astype(jnp.float32))
         return logits.astype(jnp.float32)
 
 
@@ -231,6 +242,11 @@ class DeepLabV3Plus(nn.Module):
     aspp_channels: int = 256
     output_stride: int = 16
     remat: bool = False
+    # emit the final x4-upsampled logits in the natural s2d packing
+    # [N,H/2,W/2,4*num_classes] via the phase-sampled align-corners resize
+    # (ops/resize.py resize_bilinear_align_corners_s2d) — same math, no
+    # full-res 3-channel tensor
+    packed_output: bool = False
     # see UNetPlusPlus: 0 disables for deterministic harnesses
     drop_connect_rate: float = 0.2
     aspp_dropout: float = 0.5
@@ -256,6 +272,9 @@ class DeepLabV3Plus(nn.Module):
         y = SeparableConvBNAct(256, dtype=self.dtype)(y, train)  # block2
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32)(y)
+        if self.packed_output:
+            return resize_bilinear_align_corners_s2d(
+                logits.astype(jnp.float32), x.shape[1:3])
         return resize_bilinear_align_corners(
             logits.astype(jnp.float32), x.shape[1:3])
 
@@ -286,6 +305,16 @@ class EnhancedUNet(nn.Module):
     # route the UNet++ decoder through the s2d packed layout (ModelConfig
     # .packed_decoder; same params/math either way, tests/test_s2d.py)
     packed_decoder: bool = True
+    # compute the fusion ENTRY (branch-logit concat -> attention gate ->
+    # residual 1x1) in the natural s2d packing: the [N,H,W,6] full-res
+    # fusion tensors — the measured source of ~10 ms/iter of XLA layout
+    # copies at b16 (benchmarks/op_trace.py) — never materialise; the one
+    # depth_to_space happens right before the 256-channel head convs,
+    # which stay full-res (they are at their MXU roofline; zero-stuffing
+    # would 4x their FLOPs).  Same params, same math (tests/test_s2d.py
+    # pins forward equivalence).  Active only with packed_decoder and
+    # fusion_stride == 1 on even-sized inputs.
+    packed_fusion: bool = True
     # 0 disables encoder stochastic depth + ASPP dropout — deterministic
     # harnesses (the cross-framework training oracle) turn ALL stochastic
     # regularisers off symmetrically (with fusion_dropout=(0, 0))
@@ -295,16 +324,27 @@ class EnhancedUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
+        packed_fusion = (
+            self.packed_fusion and self.packed_decoder
+            and self.fusion_stride == 1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
         out_main = UNetPlusPlus(self.num_classes, remat=self.remat,
                                 encoder_name=self.encoder_names[0],
                                 packed_decoder=self.packed_decoder,
+                                packed_output=packed_fusion,
                                 drop_connect_rate=self.drop_connect_rate,
                                 dtype=self.dtype)(x, train)
         out_aux = DeepLabV3Plus(self.num_classes, remat=self.remat,
                                 encoder_name=self.encoder_names[1],
+                                packed_output=packed_fusion,
                                 drop_connect_rate=self.drop_connect_rate,
                                 aspp_dropout=self.aspp_dropout,
                                 dtype=self.dtype)(x, train)
+
+        if packed_fusion:
+            logits, aux = self._packed_fusion(out_main, out_aux, train)
+            return logits, aux
 
         fused = jnp.concatenate([out_main, out_aux], axis=-1)  # [N,H,W,6]
         full_hw = fused.shape[1:3]
@@ -318,36 +358,108 @@ class EnhancedUNet(nn.Module):
 
         # attention gate (models.py:278-285)
         a = nn.Conv(fc // 2, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(fused.astype(self.dtype))
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="Conv_0")(fused.astype(self.dtype))
         a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32)(a)
+                         param_dtype=jnp.float32, name="BatchNorm_0")(a)
         # reference nn.GELU() is exact erf GELU; flax default is tanh approx
         a = nn.gelu(a, approximate=False)
         a = nn.Conv(fc, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(a)
+                    param_dtype=jnp.float32, name="Conv_1")(a)
         a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32)(a)
+                         param_dtype=jnp.float32, name="BatchNorm_1")(a)
         attention = nn.sigmoid(a.astype(jnp.float32))
         gated = fused * attention
 
-        # fusion head (models.py:287-300)
-        y = gated.astype(self.dtype)
-        y = ConvBNAct(256, use_bias=False, dtype=self.dtype)(y, train)
-        y = nn.Dropout(self.fusion_dropout[0], deterministic=not train)(y)
-        y = ConvBNAct(128, use_bias=False, dtype=self.dtype)(y, train)
-        y = nn.Dropout(self.fusion_dropout[1], deterministic=not train)(y)
-        y = ConvBNAct(64, use_bias=False, dtype=self.dtype)(y, train)
-        head = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                       param_dtype=jnp.float32)(y).astype(jnp.float32)
-
-        # residual path (models.py:302, 326-328)
-        residual = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
-                           param_dtype=jnp.float32)(gated)
-        logits = head + residual
+        logits = self._fusion_head(gated, train)
         if self.fusion_stride > 1:
             logits = resize_bilinear(logits, full_hw)
 
         aux = {"unetpp": out_main, "deeplab": out_aux}
+        return logits, aux
+
+    def _fusion_head(self, gated, train: bool):
+        """fusion head + residual path (models.py:287-302), full-res."""
+        y = gated.astype(self.dtype)
+        y = ConvBNAct(256, use_bias=False, dtype=self.dtype,
+                      name="ConvBNAct_0")(y, train)
+        y = nn.Dropout(self.fusion_dropout[0], deterministic=not train,
+                       name="Dropout_0")(y)
+        y = ConvBNAct(128, use_bias=False, dtype=self.dtype,
+                      name="ConvBNAct_1")(y, train)
+        y = nn.Dropout(self.fusion_dropout[1], deterministic=not train,
+                       name="Dropout_1")(y)
+        y = ConvBNAct(64, use_bias=False, dtype=self.dtype,
+                      name="ConvBNAct_2")(y, train)
+        head = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32,
+                       name="Conv_2")(y).astype(jnp.float32)
+        # residual path (models.py:302, 326-328)
+        residual = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                           param_dtype=jnp.float32, name="Conv_3")(gated)
+        return head + residual
+
+    def _packed_fusion(self, main_p, aux_p, train: bool):
+        """Fusion entry in the natural s2d packing: concat + attention gate
+        + residual run at half resolution with 4x the lanes; the only
+        depth_to_space feeds the (full-res, roofline-bound) 256-channel
+        head convs.  Identical math and param tree to the unpacked branch
+        above (PackedConv3x3/PackedConv1x1/PackedBatchNorm are exact
+        rewrites; tests/test_s2d.py)."""
+        from enhanced_unet_tpu.models.packed_blocks import (
+            PackedBatchNorm,
+            PackedConv1x1,
+            PackedConv3x3,
+        )
+        from enhanced_unet_tpu.ops.s2d import depth_to_space
+
+        n, h2, w2, _ = main_p.shape
+        c = self.num_classes
+        # natural packing of the logical channel concat [main, aux]: per
+        # phase, main's channels then aux's
+        fused_p = jnp.concatenate(
+            [main_p.reshape(n, h2, w2, 4, c),
+             aux_p.reshape(n, h2, w2, 4, c)],
+            axis=-1).reshape(n, h2, w2, 4 * 2 * c)
+        fc = 2 * c
+
+        # attention gate (models.py:278-285), packed
+        a = PackedConv3x3(fc // 2, fc, use_bias=False, dtype=self.dtype,
+                          name="Conv_0")(fused_p.astype(self.dtype), (fc,))
+        a = PackedBatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype,
+                            name="BatchNorm_0")(a)
+        a = nn.gelu(a, approximate=False)
+        a = PackedConv1x1(fc, fc // 2, use_bias=False, dtype=self.dtype,
+                          name="Conv_1")(a)
+        a = PackedBatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype,
+                            name="BatchNorm_1")(a)
+        attention = nn.sigmoid(a.astype(jnp.float32))
+        gated_p = fused_p * attention
+
+        gated = depth_to_space(gated_p)  # full-res entry to the head convs
+        y = gated.astype(self.dtype)
+        y = ConvBNAct(256, use_bias=False, dtype=self.dtype,
+                      name="ConvBNAct_0")(y, train)
+        y = nn.Dropout(self.fusion_dropout[0], deterministic=not train,
+                       name="Dropout_0")(y)
+        y = ConvBNAct(128, use_bias=False, dtype=self.dtype,
+                      name="ConvBNAct_1")(y, train)
+        y = nn.Dropout(self.fusion_dropout[1], deterministic=not train,
+                       name="Dropout_1")(y)
+        y = ConvBNAct(64, use_bias=False, dtype=self.dtype,
+                      name="ConvBNAct_2")(y, train)
+        head = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32,
+                       name="Conv_2")(y).astype(jnp.float32)
+        # residual path, packed (models.py:302): block-diagonal 1x1
+        residual_p = PackedConv1x1(c, fc, use_bias=True, dtype=jnp.float32,
+                                   name="Conv_3")(gated_p)
+        logits = head + depth_to_space(residual_p)
+
+        aux = {"unetpp": depth_to_space(main_p),
+               "deeplab": depth_to_space(aux_p)}
         return logits, aux

@@ -156,6 +156,37 @@ class PackedConv3x3(nn.Module):
         return y
 
 
+class PackedConv1x1(nn.Module):
+    """Logical 1x1 conv on the natural packing, param-compatible with
+    nn.Conv(features, (1, 1)) (param "kernel" [1,1,Cin,Cout], "bias"
+    [Cout] when use_bias): the per-pixel projection applied to each of the
+    four sub-positions via a block-diagonal kron(I4, w) kernel.  Used by
+    the packed fusion gate (attention 1x1) and residual path."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features),
+                            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        pk, pb = packed_1x1_spatial_kernel(
+            kernel.astype(self.dtype),
+            None if bias is None else bias.astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), pk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if pb is not None:
+            y = y + pb
+        return y
+
+
 class PackedConvBNAct(nn.Module):
     """Packed twin of ConvBNAct (3x3, stride 1, SAME, BN, act).  Takes a
     LIST of packed tensors (the concat parts, in order) plus optionally a

@@ -73,6 +73,58 @@ def resize_bilinear_align_corners(
     return out[0] if squeeze else out
 
 
+def resize_bilinear_align_corners_s2d(
+    x: jnp.ndarray, size: Tuple[int, int]
+) -> jnp.ndarray:
+    """space_to_depth(resize_bilinear_align_corners(x, size)) computed
+    WITHOUT materialising the full-resolution tensor: each of the four s2d
+    sub-pixel phases (a, b) samples the source at the full-res positions
+    (2i+a, 2j+b) directly, so the output is the natural packing
+    [N, H/2, W/2, 4C] built from four half-resolution separable gathers.
+
+    Why: the DeepLabV3+ branch's final x4 logits upsample writes a
+    3-channel full-res fp32 tensor (3/128 lane utilisation) that then
+    feeds the fusion concat — the measured source of XLA layout copies
+    around the [N,H,W,6] fusion tensors (benchmarks/op_trace.py).  In
+    packed form the same math lands in 12-lane half-res layout and the
+    full-res tensor never exists.  H and W must be even.
+    """
+    oh, ow = size
+    if oh % 2 or ow % 2:
+        raise ValueError(f"s2d resize needs even output size, got {size}")
+
+    def _phase_weights(n_in: int, n_out_full: int, phase: int):
+        idx = jnp.arange(phase, n_out_full, 2, dtype=jnp.float32)
+        if n_out_full == 1 or n_in == 1:
+            lo = jnp.zeros((idx.shape[0],), jnp.int32)
+            return lo, lo, jnp.zeros((idx.shape[0],), jnp.float32)
+        pos = idx * ((n_in - 1) / (n_out_full - 1))
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        return lo, lo + 1, pos - lo.astype(jnp.float32)
+
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+
+    rows = []
+    for a in range(2):
+        lo, hi, f = _phase_weights(h, oh, a)
+        f = f[None, :, None, None]
+        rows.append(xf[:, lo] * (1.0 - f) + xf[:, hi] * f)  # [N,oh/2,w,C]
+    phases = []
+    for a in range(2):
+        for b in range(2):
+            lo, hi, f = _phase_weights(w, ow, b)
+            f = f[None, None, :, None]
+            phases.append(rows[a][:, :, lo] * (1.0 - f)
+                          + rows[a][:, :, hi] * f)  # [N,oh/2,ow/2,C]
+    out = jnp.stack(phases, axis=-2)  # [N,oh/2,ow/2,4,C] in (a*2+b) order
+    out = out.reshape(n, oh // 2, ow // 2, 4 * c).astype(x.dtype)
+    return out[0] if squeeze else out
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """nn.Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
     return resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2))

@@ -211,3 +211,83 @@ class TestPackedUNetPlusPlus:
         for (kp, sp), (_, sq) in zip(_sorted_leaves(pm), _sorted_leaves(qm)):
             np.testing.assert_allclose(sq, sp, atol=1e-4,
                                        err_msg=jax.tree_util.keystr(kp))
+
+
+class TestPackedFusion:
+    """Round-5 packed fusion entry: the branch-logit concat + attention
+    gate + residual run in the natural packing (EnhancedUNet.packed_fusion)
+    — the [N,H,W,6] full-res fusion tensors never materialise."""
+
+    def test_resize_align_corners_s2d_equivalence(self):
+        from enhanced_unet_tpu.ops.resize import (
+            resize_bilinear_align_corners,
+            resize_bilinear_align_corners_s2d,
+        )
+
+        x = _rand(30, (2, 16, 24, 3))
+        ref = space_to_depth(resize_bilinear_align_corners(x, (64, 96)))
+        got = resize_bilinear_align_corners_s2d(x, (64, 96))
+        assert got.shape == ref.shape == (2, 32, 48, 12)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_resize_align_corners_s2d_odd_rejected(self):
+        from enhanced_unet_tpu.ops.resize import (
+            resize_bilinear_align_corners_s2d,
+        )
+
+        with pytest.raises(ValueError):
+            resize_bilinear_align_corners_s2d(_rand(31, (1, 8, 8, 2)), (15, 16))
+
+    def test_packed_conv1x1_equivalence(self):
+        from enhanced_unet_tpu.models.packed_blocks import PackedConv1x1
+
+        x = _rand(32, (2, 12, 12, 6))
+        plain = nn.Conv(3, (1, 1), dtype=jnp.float32,
+                        param_dtype=jnp.float32)
+        packed = PackedConv1x1(3, 6, use_bias=True, dtype=jnp.float32)
+        vp = plain.init(jax.random.key(5), x)
+        vq = packed.init(jax.random.key(5), space_to_depth(x))
+        chex_tree_equal(vp, vq)
+        ref = plain.apply(vp, x)
+        got = depth_to_space(packed.apply(vp, space_to_depth(x)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_enhanced_unet_packed_fusion_equivalence(self):
+        from enhanced_unet_tpu.models.enhanced_unet import EnhancedUNet
+
+        x = _rand(33, (1, 64, 64, 3))
+        kw = dict(encoder_names=("efficientnet-tiny", "efficientnet-tiny"),
+                  drop_connect_rate=0.0, aspp_dropout=0.0,
+                  fusion_dropout=(0.0, 0.0), dtype=jnp.float32)
+        plain = EnhancedUNet(packed_fusion=False, **kw)
+        packed = EnhancedUNet(packed_fusion=True, **kw)
+        vp = plain.init({"params": jax.random.key(7)}, x, False)
+        vq = packed.init({"params": jax.random.key(7)}, x, False)
+        chex_tree_equal(vp, vq)
+        ref, aux_ref = plain.apply(vp, x, False)
+        got, aux_got = packed.apply(vp, x, False)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+        for k in aux_ref:
+            np.testing.assert_allclose(aux_got[k], aux_ref[k], atol=2e-3)
+
+    @pytest.mark.slow
+    def test_enhanced_unet_packed_fusion_train_stats(self):
+        from enhanced_unet_tpu.models.enhanced_unet import EnhancedUNet
+
+        x = _rand(34, (1, 64, 64, 3))
+        kw = dict(encoder_names=("efficientnet-tiny", "efficientnet-tiny"),
+                  drop_connect_rate=0.0, aspp_dropout=0.0,
+                  fusion_dropout=(0.0, 0.0), dtype=jnp.float32)
+        plain = EnhancedUNet(packed_fusion=False, **kw)
+        packed = EnhancedUNet(packed_fusion=True, **kw)
+        vp = plain.init({"params": jax.random.key(8)}, x, False)
+        rngs = {"dropout": jax.random.key(9)}
+        (ref, _), pm = plain.apply(vp, x, True, mutable=["batch_stats"],
+                                   rngs=rngs)
+        (got, _), qm = packed.apply(vp, x, True, mutable=["batch_stats"],
+                                    rngs=rngs)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+        for (kp, sp), (_, sq) in zip(_sorted_leaves(pm), _sorted_leaves(qm)):
+            np.testing.assert_allclose(sq, sp, atol=1e-4,
+                                       err_msg=jax.tree_util.keystr(kp))
