@@ -106,6 +106,13 @@ def main(argv=None) -> int:
         help="batch the eval pipeline over same-shape image groups "
              "(1 = the reference's per-image loop; results identical)")
     parser.add_argument(
+        "--serving-preset", choices=("exact", "optimized"), default="exact",
+        help="eval/predict model placement: 'exact' reproduces the "
+             "reference bit-for-bit-within-tolerance; 'optimized' stacks "
+             "the receipts-approved non-logit-exact throughput options "
+             "(config.SERVING_OPTIMIZED_KWARGS — same param tree, same "
+             "checkpoints; measured quality delta in BASELINE.md)")
+    parser.add_argument(
         "--pretrained-dir", type=str, default=None,
         help="directory of ImageNet encoder weight files (the exact "
              "upstream files smp downloads — see convert/pretrained.py "
@@ -149,6 +156,20 @@ def main(argv=None) -> int:
 
     print(f"mode: {args.mode}\nmodels: {args.models}\nepochs: {args.epochs}")
 
+    def _serving_cfg(model_name):
+        # eval/predict-time config carrying the serving preset; None keeps
+        # the APIs' own default preset (identical for "exact")
+        if args.serving_preset == "exact":
+            return None
+        import dataclasses
+
+        from enhanced_unet_tpu.config import get_preset
+
+        cfg = get_preset(model_name, data_dir=args.data_dir)
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, serving_preset=args.serving_preset))
+
     all_results: Dict[str, Dict] = {}
     for model_name in args.models:
         try:
@@ -174,6 +195,7 @@ def main(argv=None) -> int:
                     images_dir=args.data_dir,
                     results_dir=args.results_dir,
                     max_size=args.max_size,
+                    cfg=_serving_cfg(model_name),
                     dtype=dtype,
                     tiled=args.tiled,
                     tile=args.tile,
@@ -201,6 +223,7 @@ def main(argv=None) -> int:
                         checkpoint_path=checkpoint_path,
                         results_dir=args.results_dir,
                         max_size=args.max_size,
+                        cfg=_serving_cfg(model_name),
                         dtype=dtype,
                         tiled=args.tiled,
                         tile=args.tile,

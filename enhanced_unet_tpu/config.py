@@ -82,6 +82,12 @@ class ModelConfig:
     # docs/ARCHITECTURE.md "Pallas verdict" (ops/pallas/conv_fused.py and
     # benchmarks/pallas_mbconv_*.py are the receipts).
     packed_decoder: bool = True
+    # Serving preset: "exact" reproduces the reference placement
+    # bit-for-bit-within-tolerance; "optimized" stacks the
+    # receipts-approved NON-logit-exact serving options
+    # (SERVING_OPTIMIZED_KWARGS below) for throughput-first deployments.
+    # Parameter trees are identical, so one checkpoint serves both.
+    serving_preset: str = "exact"
     # enhanced_unet dropout knobs (models.py:265, 291, 295)
     decoder_dropout: float = 0.15
     fusion_dropout: Tuple[float, float] = (0.2, 0.15)
@@ -128,6 +134,20 @@ class TrainConfig:
     def cosine_t0(self) -> int:
         # train_eval.py:126
         return max(10, self.num_epochs // 3)
+
+
+# The "optimized" serving preset: receipts-approved options that trade
+# logit exactness for throughput while keeping the SAME parameter tree
+# (a checkpoint trained at the exact placement loads unchanged).
+# fusion_stride=2 computes the identical fusion head on 2x-downsampled
+# branch logits and bilinearly upsamples the result — the gate, head and
+# residual see the same 6-channel signal at ~2.3x fewer total forward
+# FLOPs (measured 126.4 img/s vs 110.5 exact at b64/512^2 on v5e, r4).
+# Measured quality delta on a fixed synthetic-data checkpoint:
+# benchmarks/serving_preset_delta.py; numbers in BASELINE.md.
+SERVING_OPTIMIZED_KWARGS = {
+    "enhanced_unet": {"fusion_stride": 2},
+}
 
 
 def _epochs_for(name: str, num_epochs: int) -> int:

@@ -47,6 +47,12 @@ def _build_state(model_name: str, cfg: TrainConfig, steps_per_epoch: int,
         # thread the config switch to the model that implements the packed
         # s2d decoder (EnhancedUNet -> UNetPlusPlus); others have no knob
         kwargs["packed_decoder"] = cfg.model.packed_decoder
+        if cfg.model.serving_preset == "optimized":
+            # receipts-approved non-logit-exact serving options; the param
+            # tree is unchanged, so exact-trained checkpoints load as-is
+            from enhanced_unet_tpu.config import SERVING_OPTIMIZED_KWARGS
+
+            kwargs.update(SERVING_OPTIMIZED_KWARGS["enhanced_unet"])
     model = get_model(model_name, dtype=dtype, **kwargs)
     return create_train_state(
         model,
