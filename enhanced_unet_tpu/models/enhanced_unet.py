@@ -314,7 +314,14 @@ class EnhancedUNet(nn.Module):
     # would 4x their FLOPs).  Same params, same math (tests/test_s2d.py
     # pins forward equivalence).  Active only with packed_decoder and
     # fusion_stride == 1 on even-sized inputs.
-    packed_fusion: bool = True
+    #
+    # MEASURED AND RETIRED as the default (r5 receipt, v5e b64/512^2
+    # same-session A/B): packed 109.62 vs unpacked 110.49 img/s — the
+    # phase-merge concat + the depth_to_space feeding the head cost what
+    # the eliminated relayouts saved.  Kept as a tested knob
+    # (BENCH_PACKED_FUSION) because the balance may differ at other
+    # batch/resolution points.
+    packed_fusion: bool = False
     # 0 disables encoder stochastic depth + ASPP dropout — deterministic
     # harnesses (the cross-framework training oracle) turn ALL stochastic
     # regularisers off symmetrically (with fusion_dropout=(0, 0))
