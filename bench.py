@@ -214,13 +214,14 @@ def run_child(mode: str) -> None:
     # placement, packed decoder.  train carries fwd+bwd+opt state: batch 8
     # is the largest measured-safe training batch on the smp-exact model
     # (16 died on-device in the r4 capture attempts).
-    # tiled batch = IMAGES per batched tiled call (2 x 25 tiles = 50-tile
-    # effective forward, inside the measured batch-64 inference ceiling).
-    # eval 21: the TTA trio rides one [3B] forward, so B=21 puts the
-    # dominant program at the measured throughput-optimal effective batch
-    # (63 ~= 64); 16 left it at 48 (VERDICT r4 item 4).
+    # tiled batch = IMAGES per batched tiled call (the per-image tile
+    # chunk below keeps each forward inside the measured batch-64
+    # inference ceiling).  eval 21: the TTA trio rides one [3B] forward,
+    # so B=21 puts the dominant program at the measured
+    # throughput-optimal effective batch (63 ~= 64); 16 left it at 48
+    # (VERDICT r4 item 4).
     mode_default_batch = {"infer": "64", "train": "8", "eval": "21",
-                          "tiled": "2"}
+                          "tiled": "4"}
     batch = int(os.environ.get("BENCH_BATCH", mode_default_batch[mode]))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -346,10 +347,27 @@ def run_child(mode: str) -> None:
         # enable_tta=False: this mode measures the TILING subsystem (grid +
         # stitching + cascade as one device program); the per-tile 5-view
         # TTA cost is the eval mode's story, and the per-tile baseline
-        # below is the plain-inference estimate.  tile_batch=None: the
-        # whole 25-tile grid rides one forward (no padded-tile waste).
+        # below is the plain-inference estimate.  The per-image tile chunk
+        # (BENCH_TILE_BATCH, or auto) keeps batch*chunk inside the
+        # measured batch-64 inference ceiling with minimal pad waste:
+        # b4 x 25 tiles -> chunk 13 (one pad tile, 52-tile forwards).
+        import math
+
+        from enhanced_unet_tpu.ops.tiling import _tile_positions
+
+        n_tiles = len(_tile_positions(img_size, tile, tile - overlap)) ** 2
+        if os.environ.get("BENCH_TILE_BATCH"):
+            tile_batch = int(os.environ["BENCH_TILE_BATCH"]) or None
+        else:
+            c_max = max(1, 64 // batch)
+            if n_tiles <= c_max:
+                tile_batch = None  # whole grid in one forward
+            else:
+                n_chunks = math.ceil(n_tiles / c_max)
+                tile_batch = math.ceil(n_tiles / n_chunks)
         ev = Evaluator(state, model_name, verbose=False, tiled=True,
-                       tile=tile, overlap=overlap, enable_tta=False)
+                       tile=tile, overlap=overlap, tile_batch=tile_batch,
+                       enable_tta=False)
         # BENCH_BATCH images per call through the batched tiled program
         # (vmapped body: one dispatch + one uint8 [B,H,W] download per B
         # images — per-call RTT amortises over the batch)
@@ -375,8 +393,6 @@ def run_child(mode: str) -> None:
         # per-tile work equivalent for the vs_baseline denominator: the
         # A100 estimate is per 512^2 forward; one full-res image costs
         # n_tiles of them (the reference has no full-res mode to compare)
-        from enhanced_unet_tpu.ops.tiling import _tile_positions
-        n_tiles = len(_tile_positions(img_size, tile, tile - overlap)) ** 2
         metric = f"{model_name}_{img_size}_tiled"
         print(json.dumps({
             "metric": f"{metric}_images_per_sec_per_chip",

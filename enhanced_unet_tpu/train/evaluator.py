@@ -180,9 +180,10 @@ class Evaluator:
                 if prog is None:
                     prog = jax.jit(self._tiled_run_body(h, w))
                     self._tiled_programs[(h, w)] = prog
-                return np.asarray(prog(
-                    self.state.params, self.state.batch_stats,
-                    jnp.asarray(image01, jnp.float32)))
+                return self._unpack_mask_wire(
+                    np.asarray(prog(
+                        self.state.params, self.state.batch_stats,
+                        jnp.asarray(image01, jnp.float32))), w)
             probs = self.predict_probs_tiled(image01)
             return np.asarray(convert_probs_to_mask(jnp.asarray(probs))
                               .astype(jnp.uint8))
@@ -242,12 +243,33 @@ class Evaluator:
                 acc = acc.at[y:y + tile, x:x + tile].add(probs[i] * window)
                 wacc = wacc.at[y:y + tile, x:x + tile].add(window)
             full = (acc / jnp.maximum(wacc, 1e-8))[:h, :w]
-            # uint8 (values 0..2): the per-image mask download shrinks 4x
-            # vs int32 — 2048^2 is 4.2 MB instead of 16.8 MB per image,
-            # a first-order serving cost over a remote relay
-            return convert_probs_to_mask(full).astype(jnp.uint8)
+            # wire format: values 0..2 fit in 2 bits, so four pixels ride
+            # one uint8 ([h, w/4] download = 1.05 MB per 2048^2 image
+            # instead of int32's 16.8 MB — the download is a first-order
+            # serving cost over a remote relay).  _unpack_mask_wire
+            # restores the public [h, w] uint8 mask on the host; the API
+            # contract is unchanged.  Falls back to plain uint8 when w%4.
+            m = convert_probs_to_mask(full).astype(jnp.uint8)
+            if w % 4 == 0:
+                m4 = m.reshape(h, w // 4, 4)
+                m = (m4[..., 0] | (m4[..., 1] << 2)
+                     | (m4[..., 2] << 4) | (m4[..., 3] << 6))
+            return m
 
         return run
+
+    @staticmethod
+    def _unpack_mask_wire(packed: np.ndarray, w: int) -> np.ndarray:
+        """Inverse of the 2-bit wire packing: [..., h, w/4] uint8 ->
+        [..., h, w] uint8 (no-op when the width was not packed)."""
+        if packed.shape[-1] == w:
+            return packed
+        out = np.empty(packed.shape[:-1] + (w,), np.uint8)
+        out[..., 0::4] = packed & 3
+        out[..., 1::4] = (packed >> 2) & 3
+        out[..., 2::4] = (packed >> 4) & 3
+        out[..., 3::4] = (packed >> 6) & 3
+        return out
 
     def predict_semantic_masks_tiled(self, images01: np.ndarray) -> np.ndarray:
         """Batched tiled serving: [B,H,W,3] float in [0,1] -> uint8 masks
@@ -265,8 +287,9 @@ class Evaluator:
             prog = jax.jit(jax.vmap(self._tiled_run_body(h, w),
                                     in_axes=(None, None, 0)))
             self._tiled_programs[key] = prog
-        return np.asarray(prog(
-            self.state.params, self.state.batch_stats, imgs))
+        return self._unpack_mask_wire(
+            np.asarray(prog(
+                self.state.params, self.state.batch_stats, imgs)), w)
 
     def predict_semantic_masks(self, images01: np.ndarray) -> np.ndarray:
         """Batched serving path: [B,H,W,3] float in [0,1] -> int masks
