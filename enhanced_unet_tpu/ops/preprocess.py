@@ -182,8 +182,19 @@ def clahe_dynamic(
         gy * gx, tile_area
     )
 
-    def tile_lut(tile_vals):
-        hist = jnp.zeros(256, jnp.int32).at[tile_vals].add(1)
+    # Per-tile histograms as a dense compare + reduce instead of
+    # scatter-add: TPU serializes scatters (the original
+    # `.at[vals].add(1)` measured 200+ ms at 2048^2,
+    # benchmarks/clahe_breakdown.py), while the [A, 256] one-hot compare
+    # fuses into a single vector-unit reduction pass.  Counts <= tile
+    # area are exact in the f32 accumulator.
+    bins = jnp.arange(256, dtype=v.dtype)
+    hists = jnp.sum(
+        (tiles[:, :, None] == bins).astype(jnp.bfloat16),
+        axis=1, dtype=jnp.float32,
+    ).astype(jnp.int32)                                   # [T, 256]
+
+    def tile_lut(hist):
         excess = jnp.sum(jnp.maximum(hist - clip, 0))
         hist = jnp.minimum(hist, clip) + excess // 256
         residual = excess % 256
@@ -193,7 +204,7 @@ def clahe_dynamic(
         hist = hist + bump.astype(jnp.int32)
         return jnp.rint(jnp.cumsum(hist) * scale)
 
-    luts = jax.vmap(tile_lut)(tiles).reshape(gy, gx, 256)
+    luts = jax.vmap(tile_lut)(hists).reshape(gy, gx, 256)
 
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -203,6 +214,47 @@ def clahe_dynamic(
     tx1 = jnp.floor(txf).astype(jnp.int32)
     ya = (tyf - ty1)[:, None]
     xa = (txf - tx1)[None, :]
+
+    if th % 2 == 0 and tw % 2 == 0:
+        # The four neighbour-tile LUT reads are piecewise constant per
+        # HALF-TILE block (the standard CLAHE quadrant structure:
+        # floor(y/th - 0.5) changes at half-tile boundaries), so instead
+        # of four full-image gathers from the [gy, gx, 256] table, build
+        # one combined [2gy, 2gx, 256, 4] table (tiny) and do ONE
+        # per-block gather of [..., 4] — measured 8x faster on TPU
+        # (benchmarks/clahe_breakdown.py).
+        th2, tw2 = th // 2, tw // 2
+        qy = jnp.arange(2 * gy)
+        qx = jnp.arange(2 * gx)
+        ty1b = jnp.clip((qy - 1) // 2, 0, gy - 1)
+        ty2b = jnp.clip((qy - 1) // 2 + 1, 0, gy - 1)
+        tx1b = jnp.clip((qx - 1) // 2, 0, gx - 1)
+        tx2b = jnp.clip((qx - 1) // 2 + 1, 0, gx - 1)
+        luts4 = jnp.stack(
+            [
+                luts[ty1b[:, None], tx1b[None, :]],
+                luts[ty1b[:, None], tx2b[None, :]],
+                luts[ty2b[:, None], tx1b[None, :]],
+                luts[ty2b[:, None], tx2b[None, :]],
+            ],
+            axis=-1,
+        )                                     # [2gy, 2gx, 256, 4]
+        vq = v.reshape(2 * gy, th2, 2 * gx, tw2).transpose(0, 2, 1, 3)
+        l4 = jax.vmap(jax.vmap(lambda tbl, vb: tbl[vb]))(
+            luts4, vq)                        # [2gy, 2gx, th2, tw2, 4]
+        l4 = l4.transpose(0, 2, 1, 3, 4).reshape(h, w, 4)
+        wgt = jnp.stack(
+            [
+                (1 - xa) * (1 - ya),
+                xa * (1 - ya),
+                (1 - xa) * ya,
+                xa * ya,
+            ],
+            axis=-1,
+        )                                     # [h, w, 4]
+        out = jnp.sum(l4 * wgt, axis=-1)
+        return _u8_round(out)
+
     ty1c = jnp.clip(ty1, 0, gy - 1)[:, None]
     ty2c = jnp.clip(ty1 + 1, 0, gy - 1)[:, None]
     tx1c = jnp.clip(tx1, 0, gx - 1)[None, :]
