@@ -267,6 +267,15 @@ def run_child(mode: str) -> None:
         )
 
         cfg = get_preset(model_name, num_epochs=50)
+        # HBM lever: bf16 AdamW first moment (BENCH_MU_DTYPE=bfloat16)
+        if os.environ.get("BENCH_MU_DTYPE"):
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg,
+                optimizer=_dc.replace(
+                    cfg.optimizer, mu_dtype=os.environ["BENCH_MU_DTYPE"]),
+            )
         state = create_train_state(
             model, cfg, steps_per_epoch=100, rng=jax.random.key(0),
             input_shape=(batch, size, size, 3),
@@ -276,12 +285,17 @@ def run_child(mode: str) -> None:
         train_step = make_train_step(cfg)
         d_rng = jax.random.key(1)
 
-        @jax.jit
-        def run_n(state, n):
+        # donate the carried state like the production step does
+        # (train/api.py:193) — without it the program holds TWO copies of
+        # params+mu+nu (~0.8 GB fp32 on the 66M flagship), which is exactly
+        # the b16 OOM margin
+        def _run_n(state, n):
             def body(i, st):
                 st, m = train_step(st, x, masks, valid, d_rng)
                 return st
             return jax.lax.fori_loop(0, n, body, state)
+
+        run_n = jax.jit(_run_n, donate_argnums=0)
 
         state = run_n(state, 1)  # compile
         _ = float(jnp.sum(state.step))  # sync

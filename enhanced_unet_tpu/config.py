@@ -66,6 +66,11 @@ class OptimizerConfig:
     # eta_min=1e-7 (train_eval.py:124-129)
     t_mult: int = 2
     eta_min: float = 1e-7
+    # dtype of AdamW's first moment (optax mu_dtype).  "bfloat16" halves the
+    # mu buffer's HBM footprint (params stay fp32, nu stays fp32; optax casts
+    # mu back to fp32 for the update) — an HBM lever for larger train
+    # batches.  Default fp32 = exact reference parity.
+    mu_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,7 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
             b1=cfg.optimizer.betas[0],
             b2=cfg.optimizer.betas[1],
             weight_decay=cfg.optimizer.weight_decay,
+            mu_dtype=jnp.dtype(cfg.optimizer.mu_dtype),
         ),
     )
 

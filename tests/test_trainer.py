@@ -90,3 +90,23 @@ def test_param_grad_norms_paths(state_and_cfg):
     state, _ = state_and_cfg
     norms = param_grad_norms(state.params)
     assert any("DoubleConv_0" in k for k in norms)
+
+
+def test_mu_dtype_bfloat16_halves_first_moment():
+    """OptimizerConfig.mu_dtype=bfloat16 stores AdamW's mu in bf16 (HBM
+    lever for larger train batches); params and nu stay fp32."""
+    from enhanced_unet_tpu.train.trainer import make_optimizer
+
+    cfg = get_preset("unet", num_epochs=4)
+    cfg = dataclasses.replace(
+        cfg, optimizer=dataclasses.replace(cfg.optimizer, mu_dtype="bfloat16"))
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    opt_state = tx.init(params)
+    adam_state = opt_state[1][0]  # chain(clip, adamw) -> adamw ScaleByAdam
+    assert adam_state.mu["w"].dtype == jnp.bfloat16
+    assert adam_state.nu["w"].dtype == jnp.float32
+    # one update still produces fp32 updates
+    grads = {"w": jnp.full((4, 4), 0.1, jnp.float32)}
+    updates, _ = tx.update(grads, opt_state, params)
+    assert updates["w"].dtype == jnp.float32
