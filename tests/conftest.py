@@ -20,8 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # persistent XLA compilation cache, shared with __graft_entry__'s
 # virtual-CPU-mesh dryrun: the slow lane pre-warms the dryrun's programs
-# (and repeat test runs skip their own recompiles)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache_cpu")
+# (and repeat test runs skip their own recompiles).  Lives INSIDE the repo
+# (gitignored) because /tmp is wiped on VM restarts (observed round 5).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".cache", "jax_cpu"))
 
 import jax  # noqa: E402
 
